@@ -1,0 +1,121 @@
+"""Disparity warping / bilinear sampling ops.
+
+The reference has two distinct sampling semantics that must NOT be
+conflated:
+
+1. ``warp_image`` (loss path, ``Data_utils/preprocessing.py:201-230``):
+   samples the right image at ``x' = x - disp`` with bilinear weights
+   built from *unclamped* coordinates and gathers at *clamped* indices —
+   i.e. clamp-to-edge behaviour (the 4-corner weights always sum to 1).
+   The flow has a zero vertical component so it degenerates to
+   horizontal interpolation.
+
+2. ``MadNet._linear_warping`` (feature warping inside the network,
+   ``Nets/MadNet.py:400-436``): horizontal-only interpolation where the
+   weight of an out-of-range corner is zeroed
+   (``wt = frac * (x == clamp(x))``), so samples fully outside the image
+   fade to zero at the left border and lose the fractional corner at the
+   right border.
+
+Both are pure gathers along W; implemented with
+``jnp.take_along_axis`` which XLA lowers to efficient TPU dynamic
+gathers. All shapes static; fully differentiable (gradients flow to
+both the disparity and the source image, as in the reference).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["warp_image", "warp_features_horizontal", "bilinear_sampler"]
+
+
+def _gather_w(img: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[b, h, ix[b,h,w], c] for integer ix of shape [B,H,W]."""
+    b, h, w, c = img.shape
+    idx = jnp.broadcast_to(ix[..., None], (b, h, w, c))
+    return jnp.take_along_axis(img, idx, axis=2)
+
+
+def warp_image(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``img`` (right view, NHWC) by ``disp`` (NHW1, left-aligned).
+
+    Reproduces reference ``preprocessing.warp_image`` +
+    ``bilinear_sampler``: sample at ``x' = x - disp`` with
+    clamp-to-edge horizontal interpolation (weights from unclamped
+    coords, indices clamped; vertical component is exactly zero).
+    """
+    b, h, w, c = img.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # [1,1,W]
+    cx = xs - disp[..., 0]  # [B,H,W]
+    x0 = jnp.floor(cx)
+    wt1 = cx - x0  # weight of x0+1
+    wt0 = 1.0 - wt1
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+    im0 = _gather_w(img, x0i)
+    im1 = _gather_w(img, x1i)
+    return wt0[..., None] * im0 + wt1[..., None] * im1
+
+
+def warp_features_horizontal(feats: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+    """Warp feature maps horizontally by per-pixel offset ``dx`` (NHW1).
+
+    Samples ``feats`` at ``x' = x + dx`` reproducing
+    ``MadNet._linear_warping`` + ``_build_indeces``: corners whose
+    unclamped index falls outside [0, W-1] contribute zero weight.
+    """
+    b, h, w, c = feats.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    cx = xs + dx[..., 0]
+    x0 = jnp.floor(cx)
+    x1 = x0 + 1
+    in0 = (x0 >= 0) & (x0 <= w - 1)
+    in1 = (x1 >= 0) & (x1 <= w - 1)
+    wt0 = (x1 - cx) * in0.astype(jnp.float32)
+    wt1 = (cx - x0) * in1.astype(jnp.float32)
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1i = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
+    im0 = _gather_w(feats, x0i)
+    im1 = _gather_w(feats, x1i)
+    return wt0[..., None] * im0 + wt1[..., None] * im1
+
+
+def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Full 2-D bilinear sampling at ``coords`` [B,H,W,2] = (x, y).
+
+    Clamp-to-edge semantics matching reference
+    ``preprocessing.bilinear_sampler`` (weights from unclamped coords,
+    indices clamped). Provided for parity / generic flows; the stereo
+    hot paths use the specialised horizontal warps above.
+    """
+    b, h, w, c = img.shape
+    cx = coords[..., 0]
+    cy = coords[..., 1]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    wx1 = cx - x0
+    wx0 = 1.0 - wx1
+    wy1 = cy - y0
+    wy0 = 1.0 - wy1
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+    y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+
+    def gather(yi, xi):
+        flat = img.reshape(b, h * w, c)
+        idx = (yi * w + xi).reshape(b, -1, 1)
+        out = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (b, h * w, c)), axis=1)
+        return out.reshape(b, h, w, c)
+
+    im00 = gather(y0i, x0i)
+    im01 = gather(y1i, x0i)
+    im10 = gather(y0i, x1i)
+    im11 = gather(y1i, x1i)
+    return (
+        (wx0 * wy0)[..., None] * im00
+        + (wx0 * wy1)[..., None] * im01
+        + (wx1 * wy0)[..., None] * im10
+        + (wx1 * wy1)[..., None] * im11
+    )

@@ -1,0 +1,171 @@
+"""Unit tests for the ops core against tiny numpy oracles and, where the
+semantics come straight from TF1, against TF (CPU) itself."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from real_time_self_adaptive_deep_stereo_tpu.ops import (
+    correlation_jnp,
+    correlation_pallas,
+    crop_or_pad,
+    pad_image,
+    resize_bilinear,
+    warp_features_horizontal,
+    warp_image,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _tf():
+    tf = pytest.importorskip("tensorflow")
+    return tf
+
+
+# ---------------------------------------------------------------- correlation
+
+
+def corr_oracle(x, y, max_disp, stride=1):
+    b, h, w, c = x.shape
+    ypad = np.pad(y, ((0, 0), (0, 0), (max_disp, max_disp), (0, 0)))
+    outs = []
+    for d in range(-max_disp, max_disp + 1, stride):
+        shifted = ypad[:, :, d + max_disp : d + max_disp + w, :]
+        outs.append((shifted * x).mean(-1, keepdims=True))
+    return np.concatenate(outs, -1)
+
+
+@pytest.mark.parametrize("max_disp,stride", [(2, 1), (3, 2), (5, 1)])
+def test_correlation_jnp_matches_oracle(max_disp, stride):
+    x = rng.normal(size=(2, 4, 16, 8)).astype(np.float32)
+    y = rng.normal(size=(2, 4, 16, 8)).astype(np.float32)
+    got = np.asarray(correlation_jnp(jnp.asarray(x), jnp.asarray(y), max_disp, stride))
+    np.testing.assert_allclose(got, corr_oracle(x, y, max_disp, stride), rtol=1e-6, atol=1e-6)
+
+
+def test_correlation_pallas_interpret_matches_jnp():
+    # interpret-mode execution of the pallas kernel on CPU
+    x = rng.normal(size=(1, 8, 32, 16)).astype(np.float32)
+    y = rng.normal(size=(1, 8, 32, 16)).astype(np.float32)
+    got = np.asarray(correlation_pallas(jnp.asarray(x), jnp.asarray(y), 2, True))
+    np.testing.assert_allclose(got, corr_oracle(x, y, 2), rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_pallas_grads_match_jnp():
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 4, 16, 8)).astype(np.float32))
+
+    def loss_ref(x, y):
+        return jnp.sum(jnp.sin(correlation_jnp(x, y, 2)))
+
+    gx_ref, gy_ref = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+
+    def loss_pl(x, y):
+        return jnp.sum(jnp.sin(correlation_pallas(x, y, 2, True)))
+
+    gx, gy = jax.grad(loss_pl, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------- resize
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((6, 10), (384, 1280)), ((64, 64), (32, 32)), ((5, 7), (10, 14)), ((8, 8), (8, 8))],
+)
+def test_resize_matches_tf1_legacy_bilinear(in_hw, out_hw):
+    tf = _tf()
+    x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), *out_hw))
+    want = tf.compat.v1.image.resize_images(
+        tf.constant(x), out_hw, method=tf.image.ResizeMethod.BILINEAR
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("target", [(4, 6), (12, 20), (4, 20), (12, 6)])
+def test_crop_or_pad_matches_tf(target):
+    tf = _tf()
+    x = rng.normal(size=(2, 8, 10, 1)).astype(np.float32)
+    got = np.asarray(crop_or_pad(jnp.asarray(x), *target))
+    want = tf.image.resize_with_crop_or_pad(tf.constant(x), *target).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pad_image_matches_tf_reflect():
+    tf = _tf()
+    x = rng.normal(size=(1, 100, 250, 3)).astype(np.float32)
+    got = np.asarray(pad_image(jnp.asarray(x), 64))
+    assert got.shape == (1, 128, 256, 3)
+    ph, pw = 128 - 100, 256 - 250
+    want = tf.pad(
+        tf.constant(x),
+        [[0, 0], [ph // 2, ph - ph // 2], [pw // 2, pw - pw // 2], [0, 0]],
+        mode="REFLECT",
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ----------------------------------------------------------------------- warp
+
+
+def test_warp_image_zero_disp_identity():
+    img = rng.normal(size=(1, 6, 12, 3)).astype(np.float32)
+    disp = np.zeros((1, 6, 12, 1), np.float32)
+    out = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(disp)))
+    np.testing.assert_allclose(out, img, rtol=1e-6)
+
+
+def test_warp_image_integer_shift():
+    img = rng.normal(size=(1, 4, 12, 2)).astype(np.float32)
+    disp = np.full((1, 4, 12, 1), 3.0, np.float32)
+    out = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(disp)))
+    # x' = x - 3, clamped at the left edge
+    want = img[:, :, np.clip(np.arange(12) - 3, 0, 11), :]
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_warp_image_fractional_shift():
+    img = np.arange(8, dtype=np.float32).reshape(1, 1, 8, 1)
+    disp = np.full((1, 1, 8, 1), 0.5, np.float32)
+    out = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(disp)))[0, 0, :, 0]
+    want = np.array([0.0, 0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5], np.float32)
+    # x'=x-0.5 -> lerp between floor/ceil; left edge clamps to 0 -> 0*0.5+0*0.5
+    np.testing.assert_allclose(out[1:], want[1:], rtol=1e-6)
+    assert out[0] == 0.0  # both corners clamp to index 0 -> value 0
+
+
+def test_warp_features_oob_weights_zeroed():
+    feats = np.ones((1, 2, 6, 4), np.float32)
+    dx = np.full((1, 2, 6, 1), -10.0, np.float32)  # everything out of range
+    out = np.asarray(warp_features_horizontal(jnp.asarray(feats), jnp.asarray(dx)))
+    np.testing.assert_allclose(out, np.zeros_like(out))
+
+
+def test_warp_features_matches_linear_warping_semantics():
+    # numpy oracle of MadNet._linear_warping (horizontal, OOB-weight zeroing)
+    feats = rng.normal(size=(2, 3, 10, 5)).astype(np.float32)
+    dx = rng.normal(size=(2, 3, 10, 1)).astype(np.float32) * 4
+    b, h, w, c = feats.shape
+    xs = np.arange(w, dtype=np.float32)[None, None, :]
+    cx = xs + dx[..., 0]
+    x0 = np.floor(cx)
+    x1 = x0 + 1
+    w0 = (x1 - cx) * ((x0 >= 0) & (x0 <= w - 1))
+    w1 = (cx - x0) * ((x1 >= 0) & (x1 <= w - 1))
+    x0i = np.clip(x0, 0, w - 1).astype(int)
+    x1i = np.clip(x1, 0, w - 1).astype(int)
+    want = np.zeros_like(feats)
+    for bi in range(b):
+        for hi in range(h):
+            want[bi, hi] = (
+                w0[bi, hi, :, None] * feats[bi, hi, x0i[bi, hi]]
+                + w1[bi, hi, :, None] * feats[bi, hi, x1i[bi, hi]]
+            )
+    got = np.asarray(warp_features_horizontal(jnp.asarray(feats), jnp.asarray(dx)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
