@@ -1,0 +1,89 @@
+"""Benchmark: MAD online-adaptation throughput on one chip.
+
+Measures the headline number of the reference system — frames/second of
+MADNet online adaptation in MAD mode (forward + one-block backward +
+update + metrics per frame) at 384x1280 — and compares against the
+reference baseline (~25 FPS on a GTX 1080 Ti, BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 25.0  # MADNet + MAD on GTX 1080 Ti (BASELINE.md)
+H, W = 384, 1280
+WARMUP = 3
+ITERS = 30
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+        AdaptationEngine,
+        OnlineAdaptationSession,
+        load_block_config,
+        make_blocks,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+
+    model = get_stereo_net("MADNet", bulkhead=True)
+    params = model.init(jax.random.PRNGKey(0))
+    blocks = make_blocks(
+        load_block_config("block_config/MadNet_full.json"), model.layer_to_path
+    )
+    engine = AdaptationEngine(model, blocks, lr=1e-4)
+    session = OnlineAdaptationSession(
+        engine,
+        params,
+        mode="MAD",
+        sample_mode="SEQUENTIAL",  # deterministic: touches every block
+        ssim_th=1e9,  # never reset during the bench
+        seed=0,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.random((H, W, 3)).astype(np.float32) * 255
+    frames = []
+    for i in range(5):
+        shift = 4 + i
+        frames.append(
+            {
+                "left": jnp.asarray(base[None]),
+                "right": jnp.asarray(np.roll(base, -shift, axis=1)[None]),
+                "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
+            }
+        )
+
+    # warmup: compile every block's step
+    for k in range(len(blocks)):
+        session.step(frames[k % len(frames)])
+    for _ in range(WARMUP):
+        session.step(frames[0])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        session.step(frames[i % len(frames)])
+    dt = time.perf_counter() - t0
+    fps = ITERS / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "madnet_mad_adaptation_fps_384x1280",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

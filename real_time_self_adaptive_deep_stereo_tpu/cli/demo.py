@@ -1,0 +1,183 @@
+"""Live adaptation demo — counterpart of reference ``Demo/``
+(Live_Adaptation_Demo.py + demo_model.py): a camera grabber thread
+feeds stereo pairs through a bounded queue into a real-time stereo
+thread that infers + adapts each frame (NONE/FULL/MAD with Adam, as the
+demo uses — demo_model.py:163) and optionally displays input/disparity
+with OpenCV.
+
+Headless operation is first-class: ``--camera folder`` replays image
+pairs and ``--display none`` writes PNGs instead of opening windows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+__all__ = ["RealTimeStereo", "build_argparser", "main"]
+
+
+class RealTimeStereo(threading.Thread):
+    """Consumes stereo pairs from a queue; per frame: resize/crop to the
+    working resolution, adaptation step, score update, reset check,
+    display/serialize (reference demo_model.py:233-284)."""
+
+    def __init__(
+        self,
+        in_queue: queue.Queue,
+        session,
+        image_shape=(320, 640),
+        display: str = "cv2",
+        out_dir: str | None = None,
+        max_frames: int | None = None,
+    ):
+        super().__init__(daemon=True)
+        self.queue = in_queue
+        self.session = session
+        self.image_shape = tuple(image_shape)
+        self.display = display
+        self.out_dir = out_dir
+        self.max_frames = max_frames
+        self.frame_times: list = []
+        self._stop = threading.Event()
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        import jax.numpy as jnp
+
+        from real_time_self_adaptive_deep_stereo_tpu.data.readers import (
+            center_crop_or_pad,
+        )
+        from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
+            colorize_disparity,
+            save_disparity_png,
+        )
+
+        h, w = self.image_shape
+        n = 0
+        while not self._stop.is_set():
+            try:
+                item = self.queue.get(timeout=2.0)
+            except queue.Empty:
+                continue
+            if item is None:
+                break
+            t0 = time.perf_counter()
+            left = center_crop_or_pad(item[0], h, w)
+            right = center_crop_or_pad(item[1], h, w)
+            frame = {
+                "left": jnp.asarray(left[None]),
+                "right": jnp.asarray(right[None]),
+                "target": jnp.zeros((1, h, w, 1), jnp.float32),
+            }
+            out = self.session.step(frame)
+            disp = np.asarray(out["disp"])[0]
+            self.frame_times.append(time.perf_counter() - t0)
+            n += 1
+
+            if self.display == "cv2":  # pragma: no cover - needs a display
+                import cv2
+
+                vis = (colorize_disparity(disp, cmap="jet") * 255).astype(np.uint8)
+                cv2.imshow("disparity", vis[..., ::-1])
+                cv2.imshow("left", left.astype(np.uint8)[..., ::-1])
+                cv2.waitKey(1)
+            elif self.out_dir:
+                save_disparity_png(
+                    os.path.join(self.out_dir, f"disparity_{n:05d}.png"), disp
+                )
+            if self.max_frames and n >= self.max_frames:
+                break
+
+    @property
+    def fps(self) -> float:
+        return 1.0 / np.mean(self.frame_times) if self.frame_times else 0.0
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.samplers import AVAILABLE_SAMPLER
+
+    p = argparse.ArgumentParser(description="Live self-adaptive stereo demo (TPU)")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--blockConfig", required=True)
+    p.add_argument("--modelName", default="MADNet")
+    p.add_argument("--mode", default="MAD", choices=["NONE", "FULL", "MAD"])
+    p.add_argument("--lr", type=float, default=0.0001)
+    p.add_argument("--sampleMode", default="PROBABILITY", choices=AVAILABLE_SAMPLER)
+    p.add_argument("--imageShape", type=int, nargs="+", default=[320, 640])
+    p.add_argument("--SSIMTh", type=float, default=0.5)
+    p.add_argument("--camera", default="folder")
+    p.add_argument("--list", default=None, help="pair list for --camera folder")
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--display", default="cv2", choices=["cv2", "none"])
+    p.add_argument("--outDir", default=None)
+    p.add_argument("--maxFrames", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(args) -> float:
+    import jax
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+        AdaptationEngine,
+        OnlineAdaptationSession,
+        load_block_config,
+        make_blocks,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.data.grabber import get_camera
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+    from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import restore_or_init
+
+    model_kwargs = {}
+    if args.modelName == "MADNet":
+        model_kwargs["bulkhead"] = args.mode == "MAD"
+    model = get_stereo_net(args.modelName, **model_kwargs)
+    params = model.init(jax.random.PRNGKey(args.seed or 0))
+    params, restored, _ = restore_or_init("/nonexistent", params, args.weights, model)
+    if not restored:
+        raise SystemExit(f"could not restore weights from {args.weights}")
+
+    blocks = make_blocks(load_block_config(args.blockConfig), model.layer_to_path)
+    # the live demo adapts with Adam (reference demo_model.py:163)
+    engine = AdaptationEngine(model, blocks, lr=args.lr, optimizer="adam")
+    session = OnlineAdaptationSession(
+        engine,
+        params,
+        mode=args.mode,
+        sample_mode=args.sampleMode,
+        ssim_th=args.SSIMTh,
+        seed=args.seed,
+    )
+
+    q: queue.Queue = queue.Queue(maxsize=1)
+    cam = get_camera(args.camera, q, list_file=args.list, loop=args.loop)
+    worker = RealTimeStereo(
+        q,
+        session,
+        image_shape=args.imageShape,
+        display=args.display,
+        out_dir=args.outDir,
+        max_frames=args.maxFrames,
+    )
+    cam.start()
+    worker.start()
+    try:
+        worker.join()
+    except KeyboardInterrupt:
+        pass
+    cam.stop()
+    worker.stop()
+    print(f"demo done: {len(worker.frame_times)} frames, {worker.fps:.1f} FPS")
+    return worker.fps
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

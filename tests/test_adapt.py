@@ -1,0 +1,187 @@
+"""Tests for the MAD adaptation machinery: block partitioning, samplers,
+engine steps (NONE/FULL/MAD), reward bookkeeping and the reset safeguard."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+    AdaptationEngine,
+    OnlineAdaptationSession,
+    get_sampler,
+    load_block_config,
+    make_blocks,
+    softmax,
+)
+from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+
+H, W = 64, 64
+rng = np.random.default_rng(0)
+
+
+def _frame():
+    return {
+        "left": jnp.asarray(rng.random((1, H, W, 3)) * 255, jnp.float32),
+        "right": jnp.asarray(rng.random((1, H, W, 3)) * 255, jnp.float32),
+        "target": jnp.asarray(rng.random((1, H, W, 1)) * 60, jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def madnet_setup():
+    net = get_stereo_net("MADNet", corr_mode="jnp")
+    params = net.init(jax.random.PRNGKey(0))
+    groups = load_block_config("block_config/MadNet_full.json")
+    blocks = make_blocks(groups, net.layer_to_path)
+    # one engine for the whole module: its jitted steps are stateless and
+    # caching them across tests keeps the suite fast
+    eng = AdaptationEngine(net, blocks, lr=1e-4)
+    return net, params, blocks, eng
+
+
+# ---------------------------------------------------------------- samplers
+
+
+def test_samplers_cover_strategies():
+    dist = softmax(np.array([0.1, 2.0, 0.3, 0.1, 0.5]))
+    assert get_sampler("FIXED", 1, fixed_id=3).sample(dist) == [3]
+    assert get_sampler("ARGMAX", 1).sample(dist) == [1]
+    seq = get_sampler("SEQUENTIAL", 2)
+    assert seq.sample(dist) == [0, 1] and seq.sample(dist) == [1, 2]
+    r = get_sampler("RANDOM", 2, seed=0).sample(dist)
+    assert len(set(r)) == 2 and all(0 <= i < 5 for i in r)
+    p = get_sampler("PROBABILITY", 1, seed=0).sample(dist)
+    assert len(p) == 1
+    np.testing.assert_allclose(dist.sum(), 1.0, rtol=1e-12)
+
+
+# ------------------------------------------------------------------ blocks
+
+
+def test_blocks_partition_params(madnet_setup):
+    net, params, blocks, eng = madnet_setup
+    assert len(blocks) == 5
+    # block 0 = scale 6: estimator_6 + pyramid conv11/conv12
+    names = {"/".join(p) for p in blocks[0].paths}
+    assert "estimator_6/disp1" in names and "pyramid/conv12" in names
+    # last block owns context net
+    names4 = {"/".join(p) for p in blocks[4].paths}
+    assert "context/context7" in names4 and "pyramid/conv1" in names4
+    # extract/merge roundtrip
+    bp = blocks[0].extract(params)
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, bp)
+    merged = blocks[0].merge(params, bumped)
+    np.testing.assert_allclose(
+        np.asarray(merged["estimator_6"]["disp1"]["w"]),
+        np.asarray(params["estimator_6"]["disp1"]["w"]) + 1.0,
+    )
+    # untouched subtree identical object
+    assert merged["estimator_5"]["disp1"]["w"] is params["estimator_5"]["disp1"]["w"]
+
+
+# ------------------------------------------------------------------- engine
+
+
+def test_mad_step_updates_only_selected_block(madnet_setup):
+    net, params, blocks, eng = madnet_setup
+    opt = eng.init_opt(params)
+    frame = _frame()
+    p1, o1, res = eng.adapt_block(1)(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        opt,
+        frame,
+    )
+    assert np.isfinite(float(res["loss"]))
+    touched = {"/".join(p) for p in blocks[1].paths}
+    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(p1)[0]
+    changed = 0
+    for (kp_old, v_old), (kp_new, v_new) in zip(flat_old, flat_new):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp_old[:-1])
+        same = np.array_equal(np.asarray(v_old), np.asarray(v_new))
+        if path in touched:
+            if not same:
+                changed += 1
+        else:
+            assert same, f"param outside block changed: {path}"
+    assert changed > 0
+
+
+def test_full_step_updates_everything(madnet_setup):
+    net, params, blocks, eng = madnet_setup
+    opt = eng.init_opt(params)
+    frame = _frame()
+    p1, o1, res = eng.adapt_full(
+        jax.tree_util.tree_map(lambda x: x.copy(), params), opt, frame
+    )
+    # every leaf with gradient flow should move; check a few
+    assert not np.array_equal(
+        np.asarray(p1["pyramid"]["conv1"]["w"]), np.asarray(params["pyramid"]["conv1"]["w"])
+    )
+    assert not np.array_equal(
+        np.asarray(p1["context"]["context7"]["w"]),
+        np.asarray(params["context"]["context7"]["w"]),
+    )
+    assert np.isfinite(float(res["loss"]))
+
+
+def test_session_runs_all_modes(madnet_setup):
+    net, params, blocks, eng = madnet_setup
+    for mode in ("NONE", "FULL", "MAD"):
+        sess = OnlineAdaptationSession(
+            eng,
+            jax.tree_util.tree_map(lambda x: x.copy(), params),
+            mode=mode,
+            sample_mode="SEQUENTIAL",
+            seed=0,
+        )
+        for _ in range(3):
+            out = sess.step(_frame())
+            assert np.isfinite(out["loss"])
+        assert sess.stats.steps == 3
+        if mode == "MAD":
+            assert sum(sess.stats.fetch_counter) == 3
+
+
+def test_reset_safeguard(madnet_setup):
+    net, params, blocks, eng = madnet_setup
+    sess = OnlineAdaptationSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        ssim_th=-1.0,  # force a reset every frame
+        seed=0,
+    )
+    sess.step(_frame())
+    assert sess.stats.reset_counter == 1
+    np.testing.assert_allclose(
+        np.asarray(sess.params["pyramid"]["conv1"]["w"]),
+        np.asarray(params["pyramid"]["conv1"]["w"]),
+    )
+
+
+def test_adaptation_reduces_loss_on_static_scene(madnet_setup):
+    """FULL adaptation on a repeated synthetic frame should reduce the
+    photometric loss (the core capability of the system)."""
+    net, params, blocks, eng = madnet_setup
+    sess = OnlineAdaptationSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="FULL",
+        ssim_th=10.0,  # disable resets
+    )
+    # structured scene: horizontal gradient with a shifted copy
+    base = np.tile(np.linspace(0, 255, W, dtype=np.float32)[None, :, None], (H, 1, 3))
+    base += rng.random((H, W, 3)).astype(np.float32) * 30
+    shift = 4
+    right = np.roll(base, -shift, axis=1)
+    frame = {
+        "left": jnp.asarray(base[None]),
+        "right": jnp.asarray(right[None]),
+        "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
+    }
+    losses = [sess.step(frame)["loss"] for _ in range(25)]
+    assert min(losses[-5:]) < losses[0], losses

@@ -1,0 +1,130 @@
+"""Checkpoint tests: native npz roundtrip, step checkpoints + resume,
+and the TF1 checkpoint importer (against a checkpoint written with the
+exact variable names the reference graphs produce)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
+    flatten_params,
+    latest_checkpoint,
+    load_params,
+    restore_or_init,
+    save_params,
+    save_step_checkpoint,
+    tf1_checkpoint_to_params,
+    unflatten_params,
+)
+
+
+def small_tree():
+    return {
+        "a": {"b": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "c": np.ones((4,), np.float32),
+    }
+
+
+def test_flatten_roundtrip():
+    t = small_tree()
+    flat = flatten_params(t)
+    assert set(flat) == {"a/b", "c"}
+    t2 = unflatten_params(flat)
+    np.testing.assert_allclose(t2["a"]["b"], t["a"]["b"])
+
+
+def test_save_load_roundtrip(tmp_path):
+    p = str(tmp_path / "w")
+    save_params(p, small_tree())
+    t2 = load_params(p)
+    np.testing.assert_allclose(t2["c"], np.ones(4))
+
+
+def test_step_checkpoints_keep_latest(tmp_path):
+    d = str(tmp_path)
+    for s in (0, 10, 20, 30):
+        save_step_checkpoint(d, small_tree(), s, keep=2)
+    files = sorted(os.listdir(d))
+    assert files == ["weights-20.npz", "weights-30.npz"]
+    path, step = latest_checkpoint(d)
+    assert step == 30
+
+
+def test_restore_or_init_resume(tmp_path):
+    d = str(tmp_path)
+    t = small_tree()
+    t["c"] = t["c"] * 7
+    save_step_checkpoint(d, t, 42)
+    params, restored, step = restore_or_init(d, small_tree())
+    assert restored and step == 42
+    np.testing.assert_allclose(params["c"], np.ones(4) * 7)
+
+
+def test_tf1_import_madnet(tmp_path):
+    """Write a TF1-style checkpoint with the reference's variable names
+    and verify the converter loads every leaf into the pytree."""
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    model = get_stereo_net("MADNet")
+    params = model.init(jax.random.PRNGKey(0))
+    name_map = model.tf_name_map()
+
+    rng = np.random.default_rng(0)
+    flat = flatten_params(params)
+    values = {
+        name: rng.normal(size=flat["/".join(path)].shape).astype(np.float32)
+        for name, path in name_map.items()
+    }
+
+    g = tf1.Graph()
+    with g.as_default():
+        tfvars = [tf1.get_variable(n, initializer=v) for n, v in values.items()]
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt = saver.save(sess, str(tmp_path / "model.ckpt"))
+
+    new_params, n = tf1_checkpoint_to_params(ckpt, model, params)
+    assert n == len(name_map)
+    for name, path in name_map.items():
+        leaf = new_params
+        for k in path:
+            leaf = leaf[k]
+        np.testing.assert_allclose(np.asarray(leaf), values[name])
+
+
+def test_tf1_import_respects_mask_and_ignore(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    model = get_stereo_net("MADNet")
+    params = model.init(jax.random.PRNGKey(0))
+    g = tf1.Graph()
+    with g.as_default():
+        v = tf1.get_variable(
+            "prefix/model/gc-read-pyramid/conv1/weights",
+            initializer=np.zeros((3, 3, 3, 16), np.float32),
+        )
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt = saver.save(sess, str(tmp_path / "m.ckpt"))
+
+    # ignore_list strips the extra scope prefix from checkpoint names
+    new_params, n = tf1_checkpoint_to_params(
+        ckpt, model, params, ignore_list=["prefix/"]
+    )
+    assert n == 1
+    np.testing.assert_allclose(
+        np.asarray(new_params["pyramid"]["conv1"]["w"]), 0.0
+    )
+    # mask skips matching graph names entirely
+    _, n2 = tf1_checkpoint_to_params(
+        ckpt, model, params, mask=["conv1"], ignore_list=["prefix/"]
+    )
+    assert n2 == 0

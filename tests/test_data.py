@@ -1,0 +1,153 @@
+"""Data pipeline tests: list parsing, PFM decode, 16-bit GT scaling,
+crops, augmentation ranges, dataset iteration and device prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from real_time_self_adaptive_deep_stereo_tpu.data import (
+    StereoDataset,
+    center_crop_or_pad,
+    load_gt,
+    prefetch_to_device,
+    random_crop,
+    read_list_file,
+    read_pfm,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _write_pfm(path, data, little_endian=True):
+    h, w = data.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n" if little_endian else b"1.0\n")
+        d = np.flipud(data[..., 0]).astype("<f4" if little_endian else ">f4")
+        f.write(d.tobytes())
+
+
+@pytest.fixture()
+def synthetic_dataset(tmp_path):
+    """Four stereo pairs: PNG images, 16-bit PNG GT, PFM proxy."""
+    import cv2
+
+    lines = []
+    for i in range(4):
+        left = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+        right = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+        gt = (rng.random((40, 60)) * 50).astype(np.float32)
+        lp, rp_, gp, pp = (
+            str(tmp_path / f"l{i}.png"),
+            str(tmp_path / f"r{i}.png"),
+            str(tmp_path / f"g{i}.png"),
+            str(tmp_path / f"p{i}.pfm"),
+        )
+        cv2.imwrite(lp, left[..., ::-1])
+        cv2.imwrite(rp_, right[..., ::-1])
+        cv2.imwrite(gp, (gt * 256).astype(np.uint16))
+        _write_pfm(pp, gt[..., None] + 1.0)
+        lines.append(f"{lp},{rp_},{gp},{pp}")
+    list_file = tmp_path / "list.csv"
+    list_file.write_text("# comment line\n" + "\n".join(lines) + "\n")
+    return str(list_file)
+
+
+def test_read_list_file(synthetic_dataset):
+    l, r, g, e = read_list_file(synthetic_dataset)
+    assert len(l) == len(r) == len(g) == len(e) == 4
+
+
+def test_pfm_roundtrip(tmp_path):
+    data = rng.normal(size=(8, 12, 1)).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    _write_pfm(p, data)
+    got = read_pfm(p)
+    np.testing.assert_allclose(got, data, rtol=1e-6)
+
+
+def test_gt_16bit_scaling(synthetic_dataset):
+    _, _, gts, _ = read_list_file(synthetic_dataset)
+    d = load_gt(gts[0])
+    assert d.shape == (40, 60, 1)
+    assert d.max() <= 51.0  # decoded /256 back to disparity units
+
+
+def test_center_crop_or_pad():
+    x = rng.random((10, 20, 3)).astype(np.float32)
+    assert center_crop_or_pad(x, 6, 10).shape == (6, 10, 3)
+    assert center_crop_or_pad(x, 16, 32).shape == (16, 32, 3)
+    y = center_crop_or_pad(x, 16, 32)
+    np.testing.assert_allclose(y[3:13, 6:26], x)
+
+
+def test_random_crop_aligned():
+    a = rng.random((30, 40, 3)).astype(np.float32)
+    b = a + 1
+    ca, cb = random_crop((8, 8), [a, b], np.random.default_rng(0))
+    np.testing.assert_allclose(cb - ca, 1.0)
+    assert ca.shape == (8, 8, 3)
+
+
+def test_dataset_eval_iteration(synthetic_dataset):
+    ds = StereoDataset(
+        synthetic_dataset,
+        batch_size=1,
+        crop_shape=(32, 48),
+        num_epochs=1,
+        is_training=False,
+        shuffle=False,
+        load_proxy=True,
+    )
+    batches = list(ds)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["left"].shape == (1, 32, 48, 3)
+    assert b["target"].shape == (1, 32, 48, 1)
+    assert b["proxy"].shape == (1, 32, 48, 1)
+    assert int(b["real_width"][0]) == 60
+    assert ds.get_max_steps() == 4
+
+
+def test_dataset_training_batches_drop_remainder(synthetic_dataset):
+    ds = StereoDataset(
+        synthetic_dataset,
+        batch_size=3,
+        crop_shape=(16, 24),
+        num_epochs=2,
+        is_training=True,
+        shuffle=True,
+        seed=0,
+    )
+    batches = list(ds)
+    # 8 samples over 2 epochs, batch 3, drop remainder -> 2 full batches
+    assert all(b["left"].shape == (3, 16, 24, 3) for b in batches)
+    assert len(batches) == 2
+
+
+def test_prefetch_to_device(synthetic_dataset):
+    ds = StereoDataset(
+        synthetic_dataset,
+        batch_size=2,
+        crop_shape=(16, 24),
+        num_epochs=1,
+        is_training=True,
+        shuffle=False,
+    )
+    out = list(prefetch_to_device(iter(ds), size=2))
+    assert len(out) == 2
+    import jax
+
+    assert isinstance(out[0]["left"], jax.Array)
+
+
+def test_augment_preserves_range(synthetic_dataset):
+    from real_time_self_adaptive_deep_stereo_tpu.data import augment
+
+    l = rng.random((16, 16, 3)).astype(np.float32) * 255
+    r = rng.random((16, 16, 3)).astype(np.float32) * 255
+    al, ar = augment(l, r, np.random.default_rng(0))
+    assert al.shape == l.shape and ar.shape == r.shape
+    assert al.min() >= 0 and al.max() <= 255

@@ -1,0 +1,109 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh:
+data-parallel training equivalence and spatial (width) sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+from real_time_self_adaptive_deep_stereo_tpu.parallel import (
+    batch_sharded,
+    make_dp_train_step,
+    make_mesh,
+    make_spatial_adapt_step,
+    shard_batch,
+    width_sharded,
+)
+from real_time_self_adaptive_deep_stereo_tpu.utils import optim
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+rng = np.random.default_rng(0)
+H, W = 64, 128
+
+
+def _batch(n):
+    return {
+        "left": rng.random((n, H, W, 3)).astype(np.float32) * 255,
+        "right": rng.random((n, H, W, 3)).astype(np.float32) * 255,
+        "target": rng.random((n, H, W, 1)).astype(np.float32) * 60,
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = get_stereo_net("MADNet", corr_mode="jnp")
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_dp_train_step_runs_and_matches_single_device(model_and_params):
+    model, params = model_and_params
+    batch = _batch(8)
+
+    mesh = make_mesh(8)
+    step = make_dp_train_step(model, mesh, lr=1e-4)
+    sharded = shard_batch(batch, batch_sharded(mesh))
+    p_multi, _, loss_multi = step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        optim.adam_init(params),
+        sharded,
+    )
+
+    mesh1 = make_mesh(1)
+    step1 = make_dp_train_step(model, mesh1, lr=1e-4)
+    p_single, _, loss_single = step1(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        optim.adam_init(params),
+        shard_batch(batch, batch_sharded(mesh1)),
+    )
+
+    np.testing.assert_allclose(float(loss_multi), float(loss_single), rtol=1e-4)
+    a = np.asarray(p_multi["pyramid"]["conv1"]["w"])
+    b = np.asarray(p_single["pyramid"]["conv1"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+
+def test_spatial_adapt_step_matches_unsharded(model_and_params):
+    model, params = model_and_params
+    frame = _batch(1)
+
+    mesh = make_mesh(8)
+    sstep = make_spatial_adapt_step(model, mesh, lr=1e-4)
+    p_sp, _, loss_sp = sstep(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        optim.momentum_init(params),
+        shard_batch(frame, width_sharded(mesh)),
+    )
+
+    mesh1 = make_mesh(1)
+    s1 = make_spatial_adapt_step(model, mesh1, lr=1e-4)
+    p_1, _, loss_1 = s1(
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        optim.momentum_init(params),
+        shard_batch(frame, width_sharded(mesh1)),
+    )
+    np.testing.assert_allclose(float(loss_sp), float(loss_1), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_sp["pyramid"]["conv1"]["w"]),
+        np.asarray(p_1["pyramid"]["conv1"]["w"]),
+        rtol=1e-3,
+        atol=1e-6,
+    )
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
