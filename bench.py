@@ -1,9 +1,13 @@
 """Benchmark: MAD online-adaptation throughput on one chip.
 
 Measures the headline number of the reference system — frames/second of
-MADNet online adaptation in MAD mode (forward + one-block backward +
-update + metrics per frame) at 384x1280 — and compares against the
-reference baseline (~25 FPS on a GTX 1080 Ti, BASELINE.md).
+MADNet online adaptation in MAD mode (forward + sampled-block backward
++ update + reward/reset controller + metrics, all fused in ONE XLA
+program per frame) at 384x1280 — and compares against the reference
+baseline (~25 FPS on a GTX 1080 Ti, BASELINE.md).
+
+Uses the device-resident FusedOnlineSession: the frame loop performs
+async dispatches only; a single sync closes the measurement.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -11,26 +15,35 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 25.0  # MADNet + MAD on GTX 1080 Ti (BASELINE.md)
 H, W = 384, 1280
-WARMUP = 3
-ITERS = 30
+WARMUP = 10
+ITERS = 100
 
 
 def main() -> None:
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from real_time_self_adaptive_deep_stereo_tpu.adapt import (
         AdaptationEngine,
-        OnlineAdaptationSession,
         load_block_config,
         make_blocks,
     )
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import FusedOnlineSession
     from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
 
     model = get_stereo_net("MADNet", bulkhead=True)
@@ -39,19 +52,20 @@ def main() -> None:
         load_block_config("block_config/MadNet_full.json"), model.layer_to_path
     )
     engine = AdaptationEngine(model, blocks, lr=1e-4)
-    session = OnlineAdaptationSession(
+    session = FusedOnlineSession(
         engine,
         params,
         mode="MAD",
-        sample_mode="SEQUENTIAL",  # deterministic: touches every block
+        sample_mode="PROBABILITY",
         ssim_th=1e9,  # never reset during the bench
+        max_steps=WARMUP + ITERS + 8,
         seed=0,
     )
 
     rng = np.random.default_rng(0)
     base = rng.random((H, W, 3)).astype(np.float32) * 255
     frames = []
-    for i in range(5):
+    for i in range(4):
         shift = 4 + i
         frames.append(
             {
@@ -61,15 +75,14 @@ def main() -> None:
             }
         )
 
-    # warmup: compile every block's step
-    for k in range(len(blocks)):
-        session.step(frames[k % len(frames)])
-    for _ in range(WARMUP):
-        session.step(frames[0])
+    for i in range(WARMUP):
+        session.step(frames[i % len(frames)])
+    session.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         session.step(frames[i % len(frames)])
+    session.block_until_ready()
     dt = time.perf_counter() - t0
     fps = ITERS / dt
 

@@ -98,6 +98,7 @@ class AdaptationEngine:
         adaptation: str = "reprojection",
         reprojection_scale: int = 1,
         momentum: float = 0.9,
+        warp_mode: str = "auto",
     ):
         self.model = model
         self.blocks = list(blocks) if blocks else []
@@ -106,10 +107,15 @@ class AdaptationEngine:
         self.adaptation = adaptation
         self.reprojection_scale = int(reprojection_scale)
         self.momentum = momentum
+        self.warp_mode = warp_mode
 
         if adaptation == "reprojection":
-            self._full_loss_fn = get_reprojection_loss("mean_SSIM_l1", reduced=True)
-            self._block_base_loss = get_reprojection_loss("mean_SSIM_l1", reduced=True)
+            self._full_loss_fn = get_reprojection_loss(
+                "mean_SSIM_l1", reduced=True, warp_mode=warp_mode
+            )
+            self._block_base_loss = get_reprojection_loss(
+                "mean_SSIM_l1", reduced=True, warp_mode=warp_mode
+            )
         elif adaptation == "proxy":
             # full loss weights 0.01, block loss weights 0.1
             # (Stereo_Continual_Adaptation.py:75,112)

@@ -1,0 +1,309 @@
+"""Fused on-device adaptation session: ONE dispatch per frame, ZERO
+host syncs in steady state.
+
+The classic runner (:mod:`runner`) mirrors the reference's host loop —
+it fetches the loss scalar every frame for the reward update and reset
+check (Stereo_Online_Adaptation.py:208-224). On TPU runtimes a
+device->host sync costs orders of magnitude more than a dispatch, so
+this module moves the *entire* controller into the jitted step:
+
+* block sampling (``jax.random.categorical`` / argmax / round-robin /
+  Gumbel top-k for multi-block) over the device-resident score vector,
+* the per-block train branch selected with ``lax.switch`` (only the
+  sampled branch executes at runtime),
+* the reward bookkeeping (linear loss extrapolation, decay/uf credit —
+  Stereo_Online_Adaptation.py:211-224),
+* the loss-threshold reset via ``lax.cond`` against pristine weights
+  kept on device (Stereo_Online_Adaptation.py:241-244),
+* per-frame metric accumulation into device ring buffers (EPE, bad3,
+  D1, loss, fetch counts).
+
+The host loop reduces to ``state = step(state, frame)`` — pure async
+dispatch — and a single transfer at the end (or at a configurable
+logging stride) materialises the statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_self_adaptive_deep_stereo_tpu.adapt.engine import (
+    AdaptationEngine,
+    d1_metric,
+    disparity_metrics,
+)
+
+__all__ = ["FusedOnlineSession"]
+
+
+class FusedOnlineSession:
+    """Device-resident NONE / FULL / MAD adaptation session.
+
+    Usage::
+
+        eng = AdaptationEngine(model, blocks, lr=1e-4)
+        sess = FusedOnlineSession(eng, params, mode="MAD",
+                                  sample_mode="PROBABILITY", max_steps=N)
+        for frame in frames:          # device-put dict batches
+            sess.step(frame)          # async; no host sync
+        stats = sess.finalize()       # one transfer
+    """
+
+    def __init__(
+        self,
+        engine: AdaptationEngine,
+        params,
+        mode: str = "MAD",
+        sample_mode: str = "PROBABILITY",
+        num_blocks: int = 1,
+        fixed_id: int = 0,
+        sample_frequency: int = 1,
+        ssim_th: float = 0.5,
+        decay: float = 0.99,
+        uf: float = 0.01,
+        dilation: int = 1,
+        max_steps: int = 100_000,
+        seed: int = 0,
+    ):
+        if mode not in ("NONE", "FULL", "MAD"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.engine = engine
+        self.mode = mode
+        self.sample_mode = sample_mode
+        self.num_blocks = num_blocks
+        self.fixed_id = fixed_id
+        self.sample_frequency = max(1, sample_frequency)
+        self.ssim_th = ssim_th
+        self.decay = decay
+        self.uf = uf
+        self.dilation = max(1, dilation)
+        self.max_steps = max_steps
+        self.n_actions = len(engine.blocks) if mode == "MAD" else 1
+
+        self.state = self._init_state(params, seed)
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------ state
+    def _init_state(self, params, seed: int) -> Dict:
+        eng = self.engine
+        n = self.n_actions
+        buf = lambda: jnp.zeros((self.max_steps,), jnp.float32)  # noqa: E731
+        state = {
+            "params": params,
+            "params0": jax.tree_util.tree_map(lambda x: x.copy(), params),
+            "opt": eng.init_opt(params) if self.mode != "NONE" else {},
+            "scores": jnp.zeros((n,), jnp.float32),
+            "loss_t1": jnp.zeros((), jnp.float32),
+            "loss_t2": jnp.zeros((), jnp.float32),
+            "last_mask": jnp.zeros((n,), jnp.float32),
+            "key": jax.random.PRNGKey(seed),
+            "step": jnp.zeros((), jnp.int32),
+            "reset_count": jnp.zeros((), jnp.int32),
+            "fetch_counter": jnp.zeros((n,), jnp.int32),
+            "cur_blocks": jnp.zeros((self.num_blocks,), jnp.int32),
+            "epe": buf(),
+            "bad3": buf(),
+            "d1": buf(),
+            "loss": buf(),
+        }
+        return state
+
+    # ---------------------------------------------------------------- sampler
+    def _sample(self, scores, key, step):
+        """Device-side block sampling; returns [num_blocks] int32 indices.
+
+        PROBABILITY samples prop. to softmax(scores) (Gumbel top-k for
+        multi-block, exactly categorical for one); RANDOM is uniform;
+        ARGMAX takes the top-k; SEQUENTIAL round-robins; FIXED is
+        constant. Mirrors Sampler/sampler_factory.py semantics.
+        """
+        n, m = self.n_actions, self.num_blocks
+        mode = self.sample_mode
+        if mode == "FIXED":
+            ids = jnp.atleast_1d(jnp.asarray(self.fixed_id, jnp.int32))[:m]
+            return jnp.broadcast_to(ids, (m,))
+        if mode == "SEQUENTIAL":
+            base = (step // self.sample_frequency) % n
+            return (base + jnp.arange(m, dtype=jnp.int32)) % n
+        if mode == "ARGMAX":
+            _, idx = jax.lax.top_k(scores, m)
+            return idx.astype(jnp.int32)
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (n,)) + 1e-20) + 1e-20)
+        if mode == "RANDOM":
+            _, idx = jax.lax.top_k(gumbel, m)
+        else:  # PROBABILITY: Gumbel-top-k == sampling w/o replacement ~ softmax
+            _, idx = jax.lax.top_k(scores + gumbel, m)
+        return idx.astype(jnp.int32)
+
+    # ------------------------------------------------------------------- step
+    def _build_step(self):
+        eng = self.engine
+        mode = self.mode
+        n = self.n_actions
+
+        def train_none(params, opt, frame):
+            out = eng.model.forward(params, frame["left"], frame["right"])
+            loss = eng._full_loss(out["disparities"], frame)
+            return params, opt, loss, out["full_res_disp"]
+
+        def train_full(params, opt, frame):
+            def loss_fn(p):
+                out = eng.model.forward(p, frame["left"], frame["right"])
+                return eng._full_loss(out["disparities"], frame), out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params2, opt2 = eng._apply_update(params, opt, grads, 0)
+            return params2, opt2, loss, out["full_res_disp"]
+
+        def make_block_branch(k):
+            block = eng.blocks[k]
+
+            def branch(params, opt, frame):
+                bp = block.extract(params)
+
+                def loss_fn(bp_):
+                    p = block.merge(params, bp_)
+                    out = eng.model.forward(p, frame["left"], frame["right"])
+                    return eng._block_loss(out["disparities"], k, frame), out
+
+                (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(bp)
+                opt_sub = eng._extract_opt(opt, block)
+                new_bp, new_opt_sub = eng._apply_update(bp, opt_sub, grads, k)
+                params2 = block.merge(params, new_bp)
+                opt2 = eng._merge_opt(opt, new_opt_sub, block)
+                loss = eng._full_loss(out["disparities"], frame)
+                return params2, opt2, loss, out["full_res_disp"]
+
+            return branch
+
+        branches = [make_block_branch(k) for k in range(n)] if mode == "MAD" else []
+
+        def step(state, frame):
+            params, opt = state["params"], state["opt"]
+            step_i = state["step"]
+            key, kstep = jax.random.split(state["key"])
+
+            if mode == "MAD":
+                fresh = self._sample(state["scores"], kstep, step_i)
+                resample = (step_i % self.sample_frequency) == 0
+                blocks_now = jnp.where(resample, fresh, state["cur_blocks"])
+                train_now = (step_i % self.dilation) == 0
+
+                def do_train(args):
+                    params, opt = args
+                    if self.num_blocks == 1:
+                        return jax.lax.switch(
+                            blocks_now[0], branches, params, opt, frame
+                        )
+                    # multi-block: apply the sampled blocks sequentially
+                    p, o = params, opt
+                    loss = jnp.zeros((), jnp.float32)
+                    disp = jnp.zeros_like(frame["target"])
+                    for j in range(self.num_blocks):
+                        p, o, loss, disp = jax.lax.switch(
+                            blocks_now[j], branches, p, o, frame
+                        )
+                    return p, o, loss, disp
+
+                def no_train(args):
+                    params, opt = args
+                    p, o, loss, disp = train_none(params, opt, frame)
+                    return p, o, loss, disp
+
+                params2, opt2, new_loss, disp = jax.lax.cond(
+                    train_now, do_train, no_train, (params, opt)
+                )
+
+                # reward bookkeeping (reference :211-224)
+                first = step_i == 0
+                loss_t1 = jnp.where(first, new_loss, state["loss_t1"])
+                loss_t2 = jnp.where(first, new_loss, state["loss_t2"])
+                expected = 2.0 * loss_t1 - loss_t2
+                gain = expected - new_loss
+                scores = self.decay * state["scores"] + self.uf * gain * state[
+                    "last_mask"
+                ]
+                cur_mask = (
+                    jnp.zeros((n,), jnp.float32)
+                    .at[blocks_now]
+                    .add(1.0)
+                )
+                fetch = state["fetch_counter"] + jnp.where(
+                    resample, cur_mask.astype(jnp.int32), 0
+                )
+                new_state_extras = {
+                    "scores": scores,
+                    "loss_t1": new_loss,
+                    "loss_t2": loss_t1,
+                    "last_mask": cur_mask,
+                    "fetch_counter": fetch,
+                    "cur_blocks": blocks_now,
+                }
+            elif mode == "FULL":
+                params2, opt2, new_loss, disp = train_full(params, opt, frame)
+                new_state_extras = {}
+            else:
+                params2, opt2, new_loss, disp = train_none(params, opt, frame)
+                new_state_extras = {}
+
+            # reset safeguard (reference :241-244); NONE never resets
+            if mode != "NONE":
+                do_reset = new_loss > self.ssim_th
+                params2 = jax.tree_util.tree_map(
+                    lambda p, p0: jnp.where(do_reset, p0, p), params2, state["params0"]
+                )
+                reset_count = state["reset_count"] + do_reset.astype(jnp.int32)
+            else:
+                reset_count = state["reset_count"]
+
+            epe, bad3 = disparity_metrics(disp, frame["target"])
+            _, d1 = d1_metric(disp, frame["target"])
+            i = jnp.minimum(step_i, self.max_steps - 1)
+            new_state = {
+                **state,
+                **new_state_extras,
+                "params": params2,
+                "opt": opt2,
+                "key": key,
+                "step": step_i + 1,
+                "reset_count": reset_count,
+                "epe": state["epe"].at[i].set(epe),
+                "bad3": state["bad3"].at[i].set(bad3),
+                "d1": state["d1"].at[i].set(d1),
+                "loss": state["loss"].at[i].set(new_loss),
+            }
+            return new_state
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # -------------------------------------------------------------------- api
+    def step(self, frame: Dict) -> None:
+        """Async: dispatches one frame; returns immediately."""
+        self.state = self._step_fn(self.state, frame)
+
+    def finalize(self) -> Dict[str, np.ndarray]:
+        """Block + transfer the accumulated statistics (one sync)."""
+        s = self.state
+        nsteps = int(jax.device_get(s["step"]))
+        host = jax.device_get(
+            {
+                "epe": s["epe"],
+                "bad3": s["bad3"],
+                "d1": s["d1"],
+                "loss": s["loss"],
+                "scores": s["scores"],
+                "fetch_counter": s["fetch_counter"],
+                "reset_count": s["reset_count"],
+            }
+        )
+        for k in ("epe", "bad3", "d1", "loss"):
+            host[k] = host[k][:nsteps]
+        host["steps"] = nsteps
+        return host
+
+    def block_until_ready(self) -> None:
+        jax.block_until_ready(self.state["step"])

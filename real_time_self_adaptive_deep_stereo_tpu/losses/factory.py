@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from real_time_self_adaptive_deep_stereo_tpu.ops.resize import resize_to
-from real_time_self_adaptive_deep_stereo_tpu.ops.warp import warp_image
+from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+    resolve_warp_mode,
+    warp_image,
+    warp_image_shift,
+)
 
 __all__ = [
     "SUPERVISED_LOSS",
@@ -284,6 +288,8 @@ def get_reprojection_loss(
     multiScale: bool = False,
     weights: Optional[Sequence[float]] = None,
     reduced: bool = True,
+    warp_mode: str = "auto",
+    warp_max_disp: int = 256,
 ):
     """Unsupervised photometric loss closure (loss_factory.py:353-395).
 
@@ -294,6 +300,12 @@ def get_reprojection_loss(
     """
     base = _resolve(reconstruction_loss)
     weights = [1.0] * 10 if weights is None else list(weights)
+    mode = resolve_warp_mode(warp_mode)
+
+    def _warp(img, disp):
+        if mode == "shift":
+            return warp_image_shift(img, disp, warp_max_disp)
+        return warp_image(img, disp)
 
     def compute_loss(disparities: List[jnp.ndarray], inputs: dict):
         left = inputs["left"].astype(jnp.float32) / 256.0
@@ -304,7 +316,7 @@ def get_reprojection_loss(
             cur = disparities[-(i + 1)]
             scale = left.shape[2] / cur.shape[2]
             resized = resize_to(cur, left) * scale
-            reproj = warp_image(right, resized)
+            reproj = _warp(right, resized)
             acc.append(weights[i] * base(reproj, left))
         return jnp.sum(jnp.stack(acc)) if reduced else acc
 

@@ -67,7 +67,9 @@ class DispNet:
 
     # ------------------------------------------------------------------ init
     def init(self, key: jax.Array, dtype=jnp.float32) -> Dict:
-        keys = iter(jax.random.split(key, 64))
+        # fold_in-derived keys (see MADNet.init for why we never iterate
+        # a split-key device array)
+        keys = (jax.random.fold_in(key, i) for i in range(1 << 20)).__iter__()
         p: Dict = {}
         if self.correlation:
             p["conv1"] = init_conv(next(keys), (7, 7, 3, 64), dtype=dtype)

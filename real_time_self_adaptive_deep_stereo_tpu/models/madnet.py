@@ -47,6 +47,10 @@ from real_time_self_adaptive_deep_stereo_tpu.ops import (
     resize_bilinear,
     warp_features_horizontal,
 )
+from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+    resolve_warp_mode,
+    warp_features_horizontal_shift,
+)
 from real_time_self_adaptive_deep_stereo_tpu.ops.conv import leaky_relu
 
 __all__ = ["MADNet"]
@@ -91,6 +95,8 @@ class MADNet:
         stride: int = 1,
         bulkhead: bool = False,
         corr_mode: str = "auto",
+        warp_mode: str = "auto",
+        warp_max_disp: int = 256,
     ):
         self.warping = warping
         self.context_net = context_net
@@ -98,12 +104,22 @@ class MADNet:
         self.stride = stride
         self.bulkhead = bulkhead
         self.corr_mode = corr_mode
+        # 'gather' = exact reference sampling; 'shift' = TPU fast path
+        # (identical for |offset| <= warp_max_disp/scale, see ops/warp.py)
+        self.warp_mode = warp_mode
+        self.warp_max_disp = warp_max_disp
 
     # ------------------------------------------------------------------ init
     def init(self, key: jax.Array, dtype=jnp.float32) -> Dict:
         """Initialise the parameter pytree (Xavier weights, zero biases)."""
         n_corr = len(range(-self.radius_d, self.radius_d + 1, self.stride))
-        keys = iter(jax.random.split(key, 128))
+        # NOTE: per-layer keys come from fold_in on a host-side counter.
+        # Never iterate/index a split-key device array here: materialising
+        # device rows on host triggers a device->host sync, and on some
+        # runtimes (axon tunnel) the first sync permanently degrades
+        # dispatch latency for the whole process.
+        counter = iter(range(1 << 20))
+        keys = (jax.random.fold_in(key, i) for i in counter)
         params: Dict = {"pyramid": {}}
         for i, (s, cin, cout) in enumerate(_PYRAMID_SPEC, start=1):
             params["pyramid"][f"conv{i}"] = init_conv(next(keys), (3, 3, cin, cout), dtype=dtype)
@@ -186,7 +202,13 @@ class MADNet:
                 if self.bulkhead:
                     u = jax.lax.stop_gradient(u)
                 if self.warping:
-                    rf = warp_features_horizontal(rf, u)
+                    if resolve_warp_mode(self.warp_mode) == "shift":
+                        bound = -(-self.warp_max_disp // factor)  # ceil
+                        rf = warp_features_horizontal_shift(
+                            rf, u, max_neg=bound, max_pos=4
+                        )
+                    else:
+                        rf = warp_features_horizontal(rf, u)
             corr = correlation(lf, rf, self.radius_d, self.stride, mode=self.corr_mode)
             volume = jnp.concatenate([lf, corr], axis=-1)
             if u is not None:

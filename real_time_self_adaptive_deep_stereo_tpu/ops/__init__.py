@@ -23,6 +23,9 @@ from real_time_self_adaptive_deep_stereo_tpu.ops.resize import (  # noqa: F401
 )
 from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (  # noqa: F401
     bilinear_sampler,
+    resolve_warp_mode,
     warp_features_horizontal,
+    warp_features_horizontal_shift,
     warp_image,
+    warp_image_shift,
 )

@@ -27,7 +27,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["warp_image", "warp_features_horizontal", "bilinear_sampler"]
+__all__ = [
+    "warp_image",
+    "warp_features_horizontal",
+    "bilinear_sampler",
+    "warp_image_shift",
+    "warp_features_horizontal_shift",
+    "resolve_warp_mode",
+]
+
+
+def resolve_warp_mode(mode: str) -> str:
+    """'auto' -> 'shift' on TPU (gathers are pathologically slow there),
+    'gather' elsewhere (exact parity path, fast on CPU)."""
+    if mode == "auto":
+        import jax
+
+        return "shift" if jax.default_backend() == "tpu" else "gather"
+    return mode
 
 
 def _gather_w(img: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
@@ -119,3 +136,104 @@ def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         + (wx1 * wy0)[..., None] * im10
         + (wx1 * wy1)[..., None] * im11
     )
+
+
+# ---------------------------------------------------------------------------
+# Shift-accumulate warps: the TPU fast path.
+#
+# A horizontal warp is a per-pixel dynamic gather along W, which lowers
+# to scalar-ish gather code on TPU and dominates the whole network's
+# runtime (it measured ~40ms at 384x1280 vs ~2ms for the entire conv
+# stack). Because stereo disparities are bounded, the same sampling can
+# be written as a sum over a STATIC range of shifts with data-dependent
+# bilinear coefficient masks:
+#
+#   out[x] = sum_s coeff_s[x] * img[x - s],   s in [-neg .. pos]
+#   coeff_s[x] = w0[x]*[s == s0[x]] + w1[x]*[s == s0[x]-1]
+#
+# which is pure vectorized select/multiply/add (VPU), fuses with
+# neighbours, and autodiffs into the same-shaped transpose. Semantics
+# match the gather versions exactly whenever |offset| <= the static
+# bound (offsets are clamped to the bound first; the reference's own
+# sampling clamps to the image border anyway).
+# ---------------------------------------------------------------------------
+
+
+def warp_image_shift(
+    img: jnp.ndarray, disp: jnp.ndarray, max_disp: int = 256
+) -> jnp.ndarray:
+    """Shift-based ``warp_image`` (clamp-to-edge, x' = x - disp).
+
+    Equivalent to :func:`warp_image` for 0 <= disp <= max_disp; larger
+    disparities are clamped to ``max_disp``.
+    """
+    b, h, w, c = img.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    d = jnp.clip(disp[..., 0], 0.0, float(max_disp))
+    cx = xs - d
+    x0 = jnp.floor(cx)
+    w1 = cx - x0  # weight of x0+1
+    w0 = 1.0 - w1
+    # clamped sample indices expressed as shifts s = x - idx
+    s0 = (xs - jnp.clip(x0, 0.0, float(w - 1))).astype(jnp.int32)
+    s1 = (xs - jnp.clip(x0 + 1.0, 0.0, float(w - 1))).astype(jnp.int32)
+
+    acc = jnp.zeros_like(img)
+    left_edge = img[:, :, :1, :]
+    for s in range(0, max_disp + 1):
+        if s == 0:
+            shifted = img
+        else:
+            shifted = jnp.concatenate(
+                [jnp.broadcast_to(left_edge, (b, h, s, c)), img[:, :, : w - s, :]],
+                axis=2,
+            )
+        coeff = w0 * (s0 == s) + w1 * (s1 == s)
+        acc = acc + coeff[..., None] * shifted
+    return acc
+
+
+def warp_features_horizontal_shift(
+    feats: jnp.ndarray,
+    dx: jnp.ndarray,
+    max_neg: int = 64,
+    max_pos: int = 4,
+) -> jnp.ndarray:
+    """Shift-based ``warp_features_horizontal`` (x' = x + dx, OOB-zero).
+
+    Equivalent to the gather version for -max_neg <= dx <= max_pos
+    (dx is clamped to that range; MADNet's ``dx`` is the negated
+    upsampled disparity so it is almost surely in [-max_disp/scale, 0]).
+    """
+    b, h, w, c = feats.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    d = jnp.clip(dx[..., 0], -float(max_neg), float(max_pos))
+    cx = xs + d
+    x0 = jnp.floor(cx)
+    x1 = x0 + 1
+    in0 = (x0 >= 0) & (x0 <= w - 1)
+    in1 = (x1 >= 0) & (x1 <= w - 1)
+    w0 = (x1 - cx) * in0.astype(jnp.float32)
+    w1 = (cx - x0) * in1.astype(jnp.float32)
+    # shifts s = x - idx for the two (clamped) sample indices
+    s0 = (xs - jnp.clip(x0, 0.0, float(w - 1))).astype(jnp.int32)
+    s1 = (xs - jnp.clip(x1, 0.0, float(w - 1))).astype(jnp.int32)
+
+    acc = jnp.zeros_like(feats)
+    zero_col = jnp.zeros((b, h, 1, c), feats.dtype)
+    for s in range(-max_pos - 1, max_neg + 1):
+        if s == 0:
+            shifted = feats
+        elif s > 0:
+            shifted = jnp.concatenate(
+                [jnp.broadcast_to(zero_col, (b, h, s, c)), feats[:, :, : w - s, :]],
+                axis=2,
+            )
+        else:
+            shifted = jnp.concatenate(
+                [feats[:, :, -s:, :], jnp.broadcast_to(zero_col, (b, h, -s, c))],
+                axis=2,
+            )
+        coeff = w0 * (s0 == s) + w1 * (s1 == s)
+        acc = acc + coeff[..., None] * shifted
+    return acc
