@@ -48,6 +48,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--logDispStep", type=int, default=-1)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--corrMode", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument(
+        "--sessionMode",
+        default="auto",
+        choices=["auto", "fused", "host"],
+        help="fused = fully on-device controller (fastest; no per-frame "
+        "host output); host = reference-style loop with per-frame "
+        "logging/PNG dumps. auto picks fused unless per-frame artifacts "
+        "were requested.",
+    )
     return p
 
 
@@ -112,6 +121,84 @@ def main(args) -> dict:
         adaptation="reprojection",
         reprojection_scale=args.reprojectionScale,
     )
+
+    session_mode = args.sessionMode
+    if session_mode == "auto":
+        per_frame_artifacts = args.summary or args.logDispStep != -1
+        session_mode = "host" if per_frame_artifacts else "fused"
+
+    max_steps = dataset.get_max_steps()
+    if session_mode == "fused":
+        return _run_fused(args, engine, params, dataset, max_steps)
+    return _run_host(args, engine, params, dataset, max_steps)
+
+
+def _run_fused(args, engine, params, dataset, max_steps):
+    """Fully on-device loop: async dispatch per frame, stats at the end."""
+    import time as _time
+
+    import numpy as np
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.runner import SessionStats
+    from real_time_self_adaptive_deep_stereo_tpu.data import prefetch_to_device
+
+    session = FusedOnlineSession(
+        engine,
+        params,
+        mode=args.mode,
+        sample_mode=args.sampleMode,
+        num_blocks=args.numBlocks,
+        fixed_id=args.fixedID[0] if isinstance(args.fixedID, list) else args.fixedID,
+        sample_frequency=args.sampleFrequency,
+        ssim_th=args.SSIMTh,
+        max_steps=max_steps + 8,
+        seed=args.seed or 0,
+    )
+    t0 = _time.perf_counter()
+    steps = 0
+    for frame in prefetch_to_device(iter(dataset), size=2):
+        session.step(frame)
+        steps += 1
+    session.block_until_ready()
+    exec_time = _time.perf_counter() - t0
+    host = session.finalize()
+
+    stats = SessionStats(
+        epe=list(host["epe"]),
+        bad3=list(host["bad3"]),
+        d1=list(host["d1"]),
+        loss=list(host["loss"]),
+        fetch_counter=[int(c) for c in host["fetch_counter"]],
+        sample_distribution=np.asarray(host["scores"], np.float64),
+        reset_counter=int(host["reset_count"]),
+        steps=host["steps"],
+        exec_time=exec_time,
+    )
+    write_stats(args.output, stats)
+    print(f"Result saved in {args.output}")
+    return {
+        "fps": stats.fps,
+        "avg_epe": float(np.mean(stats.epe)) if stats.epe else float("nan"),
+        "avg_bad3": float(np.mean(stats.bad3)) if stats.bad3 else float("nan"),
+        "resets": stats.reset_counter,
+    }
+
+
+def _run_host(args, engine, params, dataset, max_steps):
+    """Reference-style host loop with per-frame logging / PNG dumps."""
+    import numpy as np
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+        OnlineAdaptationSession,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.data import prefetch_to_device
+    from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
+        save_disparity_png,
+    )
+
     session = OnlineAdaptationSession(
         engine,
         params,
@@ -133,7 +220,6 @@ def main(args) -> dict:
         except ImportError:
             print("tensorboard summaries unavailable (no tensorflow)")
 
-    max_steps = dataset.get_max_steps()
     start = time.perf_counter()
     for step, frame in enumerate(prefetch_to_device(iter(dataset), size=2)):
         out = session.step(frame)

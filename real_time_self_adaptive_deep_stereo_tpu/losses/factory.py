@@ -93,11 +93,26 @@ def zncc(x, y):
 
 
 def _avg_pool3_valid(x):
-    """3x3 stride-1 VALID mean pool over NHWC (tf.nn.avg_pool parity)."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    """3x3 stride-1 VALID mean pool over NHWC (tf.nn.avg_pool parity).
+
+    Implemented as a separable pair of 1-D box convolutions instead of
+    ``lax.reduce_window`` — XLA:TPU lowers reduce-window poorly (it
+    showed up as ~15% of the whole adaptation step in profiles), while
+    the convs fuse cleanly.
+    """
+    c = x.shape[-1]
+    # depthwise kernels: HWIO with I=1, O=c (feature_group_count=c)
+    kh = jnp.full((3, 1, 1, c), 1.0 / 3.0, x.dtype)
+    kw = jnp.full((1, 3, 1, c), 1.0 / 3.0, x.dtype)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return s / 9.0
+    return jax.lax.conv_general_dilated(
+        y, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def SSIM(x, y):
@@ -289,7 +304,7 @@ def get_reprojection_loss(
     weights: Optional[Sequence[float]] = None,
     reduced: bool = True,
     warp_mode: str = "auto",
-    warp_max_disp: int = 256,
+    warp_max_disp: int = 192,
 ):
     """Unsupervised photometric loss closure (loss_factory.py:353-395).
 
@@ -303,6 +318,12 @@ def get_reprojection_loss(
     mode = resolve_warp_mode(warp_mode)
 
     def _warp(img, disp):
+        if mode == "pallas":
+            from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+                warp_image_pallas,
+            )
+
+            return warp_image_pallas(img, disp, warp_max_disp)
         if mode == "shift":
             return warp_image_shift(img, disp, warp_max_disp)
         return warp_image(img, disp)

