@@ -45,6 +45,11 @@ def main() -> None:
     )
     from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import FusedOnlineSession
     from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+    from real_time_self_adaptive_deep_stereo_tpu.ops.conv import set_conv_precision
+
+    # standard TPU conv precision (bf16 multiplies, fp32 accumulation);
+    # set BENCH_PRECISION=highest for the fp32-exact parity mode
+    set_conv_precision(os.environ.get("BENCH_PRECISION", "default"))
 
     model = get_stereo_net("MADNet", bulkhead=True)
     params = model.init(jax.random.PRNGKey(0))
@@ -82,6 +87,8 @@ def main() -> None:
     t0 = time.perf_counter()
     for i in range(ITERS):
         session.step(frames[i % len(frames)])
+        if (i + 1) % 25 == 0:
+            session.block_until_ready()  # bound the in-flight queue
     session.block_until_ready()
     dt = time.perf_counter() - t0
     fps = ITERS / dt

@@ -306,4 +306,8 @@ class FusedOnlineSession:
         return host
 
     def block_until_ready(self) -> None:
-        jax.block_until_ready(self.state["step"])
+        """True synchronization: fetches the step counter. (A plain
+        ``jax.block_until_ready`` on a donated output buffer can return
+        before the program finishes on some PJRT runtimes; a device->host
+        transfer always waits.)"""
+        jax.device_get(self.state["step"])

@@ -20,6 +20,7 @@ from real_time_self_adaptive_deep_stereo_tpu.ops.resize import resize_to
 from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
     resolve_warp_mode,
     warp_image,
+    warp_image_onehot,
     warp_image_shift,
 )
 
@@ -318,6 +319,8 @@ def get_reprojection_loss(
     mode = resolve_warp_mode(warp_mode)
 
     def _warp(img, disp):
+        if mode == "onehot":
+            return warp_image_onehot(img, disp, warp_max_disp)
         if mode == "pallas":
             from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
                 warp_image_pallas,

@@ -50,6 +50,7 @@ from real_time_self_adaptive_deep_stereo_tpu.ops import (
 from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
     resolve_warp_mode,
     warp_features_horizontal_shift,
+    warp_features_onehot,
 )
 from real_time_self_adaptive_deep_stereo_tpu.ops.conv import leaky_relu
 
@@ -204,7 +205,9 @@ class MADNet:
                 if self.warping:
                     wmode = resolve_warp_mode(self.warp_mode)
                     bound = -(-self.warp_max_disp // factor)  # ceil
-                    if wmode == "pallas":
+                    if wmode == "onehot":
+                        rf = warp_features_onehot(rf, u, bound, 4)
+                    elif wmode == "pallas":
                         from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
                             warp_features_pallas,
                         )

@@ -35,6 +35,7 @@ __all__ = [
     "warp_image_shift",
     "warp_features_horizontal_shift",
     "warp_image_onehot",
+    "warp_features_onehot",
     "resolve_warp_mode",
 ]
 
@@ -49,7 +50,7 @@ def resolve_warp_mode(mode: str) -> str:
     if mode == "auto":
         import jax
 
-        return "shift" if jax.devices()[0].platform == "tpu" else "gather"
+        return "onehot" if jax.devices()[0].platform == "tpu" else "gather"
     return mode
 
 
@@ -295,4 +296,49 @@ def warp_image_onehot(
         outs.append(
             jnp.einsum("bhxv,bhvc->bhxc", m, win, precision="highest")
         )
+    return jnp.concatenate(outs, axis=2)
+
+
+def warp_features_onehot(
+    feats: jnp.ndarray,
+    dx: jnp.ndarray,
+    max_neg: int = 64,
+    max_pos: int = 4,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Matmul-formulated ``warp_features_horizontal`` (OOB weights zeroed).
+
+    Same scheme as :func:`warp_image_onehot`; equivalent to
+    :func:`warp_features_horizontal` for -max_neg <= dx <= max_pos.
+    """
+    b, h, w, c = feats.shape
+    npad = min(max_neg, w)
+    ppad = min(max_pos + 1, w)
+    fpad = jnp.pad(feats, ((0, 0), (0, 0), (npad, ppad), (0, 0)))
+    d = jnp.clip(dx[..., 0], -float(max_neg), float(max_pos))
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    cx = xs + d
+    x0 = jnp.floor(cx)
+    x1 = x0 + 1.0
+    in0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
+    in1 = ((x1 >= 0) & (x1 <= w - 1)).astype(jnp.float32)
+    w0 = (x1 - cx) * in0
+    w1 = (cx - x0) * in1
+    i0 = jnp.clip(x0, 0.0, float(w - 1)) + npad
+    i1 = jnp.clip(x1, 0.0, float(w - 1)) + npad
+
+    outs = []
+    for x_start in range(0, w, chunk):
+        cw = min(chunk, w - x_start)
+        win = jax.lax.slice_in_dim(fpad, x_start, x_start + cw + npad + ppad, axis=2)
+        vidx = (
+            jnp.arange(cw + npad + ppad, dtype=jnp.float32) + x_start
+        )[None, None, None, :]
+        sel0 = (vidx == i0[:, :, x_start : x_start + cw, None]).astype(feats.dtype)
+        sel1 = (vidx == i1[:, :, x_start : x_start + cw, None]).astype(feats.dtype)
+        m = (
+            w0[:, :, x_start : x_start + cw, None] * sel0
+            + w1[:, :, x_start : x_start + cw, None] * sel1
+        )
+        outs.append(jnp.einsum("bhxv,bhvc->bhxc", m, win, precision="highest"))
     return jnp.concatenate(outs, axis=2)

@@ -225,3 +225,43 @@ def test_warp_features_shift_grads_match_gather():
         lambda d: jnp.sum(jnp.sin(warp_features_horizontal_shift(feats, d, 8, 4)))
     )(dx)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_warp_onehot_matches_gather():
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+        warp_features_onehot,
+        warp_image_onehot,
+    )
+
+    img = jnp.asarray(rng.normal(size=(2, 5, 40, 3)).astype(np.float32))
+    disp = jnp.asarray((rng.random((2, 5, 40, 1)) * 20).astype(np.float32))
+    a = np.asarray(warp_image(img, disp))
+    b = np.asarray(warp_image_onehot(img, disp, max_disp=24, chunk=16))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    feats = jnp.asarray(rng.normal(size=(2, 4, 32, 6)).astype(np.float32))
+    dx = jnp.asarray((rng.random((2, 4, 32, 1)) * -12 + 2).astype(np.float32))
+    a = np.asarray(warp_features_horizontal(feats, dx))
+    b = np.asarray(warp_features_onehot(feats, dx, max_neg=12, max_pos=4, chunk=16))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_warp_onehot_grads_match_gather():
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+        warp_features_onehot,
+        warp_image_onehot,
+    )
+
+    img = jnp.asarray(rng.normal(size=(1, 4, 24, 2)).astype(np.float32))
+    disp = jnp.asarray((rng.random((1, 4, 24, 1)) * 8 + 0.3).astype(np.float32))
+    g1 = jax.grad(lambda d: jnp.sum(jnp.sin(warp_image(img, d))))(disp)
+    g2 = jax.grad(lambda d: jnp.sum(jnp.sin(warp_image_onehot(img, d, 12, 8))))(disp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+    feats = jnp.asarray(rng.normal(size=(1, 3, 20, 4)).astype(np.float32))
+    dx = jnp.asarray((rng.random((1, 3, 20, 1)) * -6 + 1).astype(np.float32))
+    g1 = jax.grad(lambda d: jnp.sum(jnp.sin(warp_features_horizontal(feats, d))))(dx)
+    g2 = jax.grad(
+        lambda d: jnp.sum(jnp.sin(warp_features_onehot(feats, d, 8, 4, 8)))
+    )(dx)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
