@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--uf", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--corrMode", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument(
+        "--sessionMode", default="auto", choices=["auto", "fused", "host"]
+    )
     return p
 
 
@@ -105,39 +108,87 @@ def main(args) -> dict:
         adaptation="proxy",
         reprojection_scale=args.reprojectionScale,
     )
-    session = OnlineAdaptationSession(
-        engine,
-        params,
-        mode=args.mode,
-        sample_mode=args.sampleMode,
-        num_blocks=args.numBlocks,
-        fixed_id=args.fixedID if len(args.fixedID) > 1 else args.fixedID[0],
-        sample_frequency=args.sampleFrequency,
-        ssim_th=args.SSIMTh,
-        decay=args.decay,
-        uf=args.uf,
-        dilation=args.dilation,
-        seed=args.seed,
-    )
+    session_mode = args.sessionMode
+    if session_mode == "auto":
+        session_mode = "host" if (args.summary or args.logDispStep != -1) else "fused"
 
     hist_path = os.path.join(args.output, "histogram.csv")
     with open(hist_path, "w") as f:
         f.write("Histogram\n")
 
-    for step, frame in enumerate(prefetch_to_device(iter(dataset), size=2)):
-        out = session.step(frame)
-        if step % 100 == 0:
-            with open(hist_path, "a") as f:
-                f.write(f"{session.stats.fetch_counter}\n")
-            print(f"Step: {step:04d} \tEPE:{out['epe']:.3f}\tD1:{out['d1']:.3f}")
-        if args.logDispStep != -1 and step % args.logDispStep == 0:
-            save_disparity_png(
-                os.path.join(args.output, "disparities", f"disparity_{step}.png"),
-                np.asarray(out["disp"])[0],
-                MAX_DISP,
-            )
+    if session_mode == "fused":
+        import time as _time
 
-    stats = session.stats
+        from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+            FusedOnlineSession,
+        )
+        from real_time_self_adaptive_deep_stereo_tpu.adapt.runner import SessionStats
+
+        fsession = FusedOnlineSession(
+            engine,
+            params,
+            mode=args.mode,
+            sample_mode=args.sampleMode,
+            num_blocks=args.numBlocks,
+            fixed_id=args.fixedID[0] if isinstance(args.fixedID, list) else args.fixedID,
+            sample_frequency=args.sampleFrequency,
+            ssim_th=args.SSIMTh,
+            decay=args.decay,
+            uf=args.uf,
+            dilation=args.dilation,
+            max_steps=dataset.get_max_steps() + 8,
+            seed=args.seed or 0,
+        )
+        t0 = _time.perf_counter()
+        for frame in prefetch_to_device(iter(dataset), size=2):
+            fsession.step(frame)
+        fsession.block_until_ready()
+        host = fsession.finalize()
+        stats = SessionStats(
+            epe=list(host["epe"]),
+            bad3=list(host["bad3"]),
+            d1=list(host["d1"]),
+            loss=list(host["loss"]),
+            fetch_counter=[int(c) for c in host["fetch_counter"]],
+            sample_distribution=np.asarray(host["scores"], np.float64),
+            reset_counter=int(host["reset_count"]),
+            steps=host["steps"],
+            exec_time=_time.perf_counter() - t0,
+        )
+        with open(hist_path, "a") as f:
+            f.write(f"{stats.fetch_counter}\n")
+        session = fsession  # for saveWeights below
+        session.params = fsession.state["params"]
+    else:
+        session = OnlineAdaptationSession(
+            engine,
+            params,
+            mode=args.mode,
+            sample_mode=args.sampleMode,
+            num_blocks=args.numBlocks,
+            fixed_id=args.fixedID if len(args.fixedID) > 1 else args.fixedID[0],
+            sample_frequency=args.sampleFrequency,
+            ssim_th=args.SSIMTh,
+            decay=args.decay,
+            uf=args.uf,
+            dilation=args.dilation,
+            seed=args.seed,
+        )
+
+        for step, frame in enumerate(prefetch_to_device(iter(dataset), size=2)):
+            out = session.step(frame)
+            if step % 100 == 0:
+                with open(hist_path, "a") as f:
+                    f.write(f"{session.stats.fetch_counter}\n")
+                print(f"Step: {step:04d} \tEPE:{out['epe']:.3f}\tD1:{out['d1']:.3f}")
+            if args.logDispStep != -1 and step % args.logDispStep == 0:
+                save_disparity_png(
+                    os.path.join(args.output, "disparities", f"disparity_{step}.png"),
+                    np.asarray(out["disp"])[0],
+                    MAX_DISP,
+                )
+
+        stats = session.stats
     with open(os.path.join(args.output, "overall.csv"), "w") as f:
         f.write("EPE\tD1\n")
         f.write(f"{np.mean(stats.epe):.3f}\t{np.mean(stats.d1):.3f}\n")

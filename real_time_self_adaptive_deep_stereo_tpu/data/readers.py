@@ -221,6 +221,7 @@ class StereoDataset:
         load_proxy: bool = False,
         seed: Optional[int] = None,
         num_workers: int = 2,
+        backend: str = "auto",
     ):
         if not os.path.exists(path_file):
             raise FileNotFoundError(f"dataset list not found: {path_file}")
@@ -233,8 +234,21 @@ class StereoDataset:
         self.augment_enabled = augment
         self.is_training = is_training
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(1, num_workers)
+        # 'native' = C++ threaded decode pipeline (runtime/stereo_loader.cc);
+        # augmentation stays host-python, so augment forces the python path
+        self.backend = backend
+        if backend == "auto":
+            try:
+                from real_time_self_adaptive_deep_stereo_tpu.runtime import native
+
+                self.backend = (
+                    "native" if (native.available() and not augment) else "python"
+                )
+            except Exception:
+                self.backend = "python"
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -280,7 +294,11 @@ class StereoDataset:
             epoch += 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield batches, decoding in a background thread."""
+        """Yield batches, decoding via the native C++ pipeline when
+        available, else in a Python background thread."""
+        if self.backend == "native":
+            yield from self._iter_native()
+            return
         q: queue.Queue = queue.Queue(maxsize=8)
         stop = threading.Event()
 
@@ -310,6 +328,46 @@ class StereoDataset:
                 yield item
         finally:
             stop.set()
+
+    def _iter_native(self) -> Iterator[Dict[str, np.ndarray]]:
+        from real_time_self_adaptive_deep_stereo_tpu.runtime.native import (
+            NativeStereoLoader,
+        )
+
+        loader = NativeStereoLoader(
+            workers=max(2, self.num_workers), crop_shape=self.crop_shape
+        )
+        base_seed = self.seed if self.seed is not None else 0
+        try:
+            indices = list(self._index_stream())
+            submitted = 0
+            delivered = 0
+            batch: List[Dict[str, np.ndarray]] = []
+            ahead = 8
+            while delivered < len(indices):
+                while submitted < len(indices) and submitted - delivered < ahead:
+                    idx = int(indices[submitted])
+                    lp, rp, gp = self.samples[idx]
+                    pp = self.proxies[idx] if self.proxies is not None else ""
+                    loader.submit(
+                        lp, rp, gp or "", pp,
+                        train=self.is_training,
+                        seed=(base_seed << 20) + submitted,
+                    )
+                    submitted += 1
+                sample = loader.next()
+                delivered += 1
+                if self.proxies is None:
+                    sample.pop("proxy", None)
+                    sample.pop("real_width", None)
+                batch.append(sample)
+                if len(batch) == self.batch_size:
+                    yield self._stack(batch)
+                    batch = []
+            if batch and not self.is_training:
+                yield self._stack(batch)
+        finally:
+            loader.close()
 
     @staticmethod
     def _stack(batch: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -172,21 +172,29 @@ class MADNet:
         d = resize_bilinear(jax.nn.relu(v * -20.0), hp, wp)
         return crop_or_pad(d, h, w)
 
-    def forward(
+    def extract_features(
         self, params: Dict, left: jnp.ndarray, right: jnp.ndarray
-    ) -> Dict[str, jnp.ndarray]:
-        """Run MADNet on raw uint8-range images (NHWC, 0..255 floats).
+    ) -> Dict:
+        """Stage 1 of the split forward: siamese pyramid features.
 
-        Returns dict with ``disparities`` (list, coarse->fine, all at
-        input resolution, positive) and ``full_res_disp``.
-        """
-        b, h, w, _ = left.shape
-        hp, wp = padded_shape(h, w, 64)
+        The TPU-native equivalent of the reference's split/placeholder
+        machinery (Stereo_net.py:81-97, unused split_layers support):
+        lets a serving pipeline run feature extraction and disparity
+        estimation as separate programs (e.g. on different devices)."""
         li = pad_image(left.astype(jnp.float32), 64)
         ri = pad_image(right.astype(jnp.float32), 64)
+        return {
+            "lfeats": self._pyramid(params["pyramid"], li),
+            "rfeats": self._pyramid(params["pyramid"], ri),
+            "orig_hw": (left.shape[1], left.shape[2]),
+        }
 
-        lfeats = self._pyramid(params["pyramid"], li)
-        rfeats = self._pyramid(params["pyramid"], ri)
+    def estimate_from_features(self, params: Dict, feats: Dict) -> Dict:
+        """Stage 2 of the split forward: cost volumes + estimators +
+        context net, producing the disparity pyramid."""
+        h, w = feats["orig_hw"]
+        hp, wp = padded_shape(h, w, 64)
+        lfeats, rfeats = feats["lfeats"], feats["rfeats"]
 
         disparities: List[jnp.ndarray] = []
         v_prev: Optional[jnp.ndarray] = None
@@ -237,6 +245,17 @@ class MADNet:
         full_res = crop_or_pad(rescaled, h, w)
         disparities.append(full_res)
         return {"disparities": disparities, "full_res_disp": full_res}
+
+    def forward(
+        self, params: Dict, left: jnp.ndarray, right: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Run MADNet on raw uint8-range images (NHWC, 0..255 floats).
+
+        Returns dict with ``disparities`` (list, coarse->fine, all at
+        input resolution, positive) and ``full_res_disp``.
+        """
+        feats = self.extract_features(params, left, right)
+        return self.estimate_from_features(params, feats)
 
     # --------------------------------------------------------------- mapping
     @staticmethod

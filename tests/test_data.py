@@ -151,3 +151,41 @@ def test_augment_preserves_range(synthetic_dataset):
     al, ar = augment(l, r, np.random.default_rng(0))
     assert al.shape == l.shape and ar.shape == r.shape
     assert al.min() >= 0 and al.max() <= 255
+
+
+# ------------------------------------------------------------ native loader
+
+
+def test_native_loader_matches_python(synthetic_dataset):
+    from real_time_self_adaptive_deep_stereo_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    ds_py = StereoDataset(
+        synthetic_dataset, batch_size=1, crop_shape=(32, 48), num_epochs=1,
+        is_training=False, shuffle=False, load_proxy=True, backend="python",
+    )
+    ds_nat = StereoDataset(
+        synthetic_dataset, batch_size=1, crop_shape=(32, 48), num_epochs=1,
+        is_training=False, shuffle=False, load_proxy=True, backend="native",
+    )
+    assert ds_nat.backend == "native"
+    for a, b in zip(ds_py, ds_nat):
+        for k in ("left", "right", "target", "proxy"):
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6, err_msg=k)
+        assert int(a["real_width"][0]) == int(b["real_width"][0])
+
+
+def test_native_loader_training_batches(synthetic_dataset):
+    from real_time_self_adaptive_deep_stereo_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    ds = StereoDataset(
+        synthetic_dataset, batch_size=2, crop_shape=(16, 24), num_epochs=2,
+        is_training=True, shuffle=True, seed=1, backend="native",
+    )
+    batches = list(ds)
+    assert len(batches) == 4  # 8 samples / batch 2, drop remainder n/a
+    assert all(b["left"].shape == (2, 16, 24, 3) for b in batches)
+    assert all(np.isfinite(b["target"]).all() for b in batches)
