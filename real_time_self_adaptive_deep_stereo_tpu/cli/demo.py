@@ -44,10 +44,11 @@ class RealTimeStereo(threading.Thread):
         self.out_dir = out_dir
         self.max_frames = max_frames
         self.frame_times: list = []
-        self._stop = threading.Event()
+        # NB: must not be named `_stop` (threading.Thread internal)
+        self._stop_evt = threading.Event()
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
 
     def run(self):
         import jax.numpy as jnp
@@ -62,7 +63,7 @@ class RealTimeStereo(threading.Thread):
 
         h, w = self.image_shape
         n = 0
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             try:
                 item = self.queue.get(timeout=2.0)
             except queue.Empty:

@@ -57,35 +57,44 @@ class ImageGrabber(threading.Thread, abc.ABC):
         super().__init__(daemon=True)
         self.queue = out_queue
         self.fps_cap = fps_cap
-        self._stop = threading.Event()
+        # NB: must not be named `_stop` (threading.Thread internal)
+        self._stop_evt = threading.Event()
 
     @abc.abstractmethod
     def grab(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Return (left, right) uint8/float RGB arrays or None at end."""
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_evt.set()
 
     def run(self) -> None:
         period = 1.0 / self.fps_cap if self.fps_cap > 0 else 0.0
-        while not self._stop.is_set():
-            t0 = time.perf_counter()
-            pair = self.grab()
-            if pair is None:
-                break
-            item = np.stack([pair[0], pair[1]])
-            try:
-                self.queue.put(item, timeout=1.0)
-            except queue.Full:
-                pass  # drop the frame
-            if period:
-                dt = time.perf_counter() - t0
-                if dt < period:
-                    time.sleep(period - dt)
         try:
-            self.queue.put(None, timeout=1.0)  # end-of-stream marker
-        except queue.Full:
-            pass
+            while not self._stop_evt.is_set():
+                t0 = time.perf_counter()
+                pair = self.grab()
+                if pair is None:
+                    break
+                item = np.stack([pair[0], pair[1]])
+                try:
+                    self.queue.put(item, timeout=1.0)
+                except queue.Full:
+                    pass  # drop the frame
+                if period:
+                    dt = time.perf_counter() - t0
+                    if dt < period:
+                        time.sleep(period - dt)
+        finally:
+            # The end-of-stream marker must not be dropped: the consumer
+            # may still be busy (e.g. compiling its first step) with the
+            # queue full — keep retrying until accepted or stopped.
+            while True:
+                try:
+                    self.queue.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop_evt.is_set():
+                        break
 
 
 @register_camera("folder")
