@@ -1,14 +1,24 @@
 """Test configuration: force CPU with 8 virtual devices so sharding
-tests run anywhere; must set flags before jax initializes."""
+tests run anywhere.
+
+NOTE: setting JAX_PLATFORMS in the environment is NOT sufficient on
+machines where a PJRT plugin registers itself via sitecustomize (it can
+override env-based platform selection). `jax.config.update` before the
+first backend initialisation is authoritative, so we do both.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
