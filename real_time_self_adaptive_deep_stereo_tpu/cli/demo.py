@@ -87,10 +87,21 @@ class RealTimeStereo(threading.Thread):
                 import cv2
 
                 vis = (colorize_disparity(disp, cmap="jet") * 255).astype(np.uint8)
-                cv2.imshow("disparity", vis[..., ::-1])
+                vis = np.ascontiguousarray(vis[..., ::-1])
+                cv2.putText(
+                    vis,
+                    f"{self.fps:5.1f} FPS  frame {n}",
+                    (8, 24),
+                    cv2.FONT_HERSHEY_SIMPLEX,
+                    0.7,
+                    (255, 255, 255),
+                    2,
+                )
+                cv2.imshow("disparity", vis)
                 cv2.imshow("left", left.astype(np.uint8)[..., ::-1])
                 cv2.waitKey(1)
             elif self.out_dir:
+                os.makedirs(self.out_dir, exist_ok=True)
                 save_disparity_png(
                     os.path.join(self.out_dir, f"disparity_{n:05d}.png"), disp
                 )
@@ -99,7 +110,10 @@ class RealTimeStereo(threading.Thread):
 
     @property
     def fps(self) -> float:
-        return 1.0 / np.mean(self.frame_times) if self.frame_times else 0.0
+        """Throughput over the last 100 frames (whole run if shorter)."""
+        if not self.frame_times:
+            return 0.0
+        return 1.0 / np.mean(self.frame_times[-100:])
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -170,6 +184,24 @@ def main(args) -> float:
     )
     cam.start()
     worker.start()
+
+    # stdin stop control (reference Live_Adaptation_Demo.py waits on
+    # stdin): any input line stops the demo. EOF (closed stdin, e.g.
+    # headless/batch runs) just retires the listener without stopping.
+    def _stdin_stop():
+        import sys
+
+        try:
+            line = sys.stdin.readline()
+        except Exception:
+            return
+        if line:
+            print("stop requested from stdin")
+            cam.stop()
+            worker.stop()
+
+    threading.Thread(target=_stdin_stop, daemon=True).start()
+    print("demo running — press Enter to stop")
     try:
         worker.join()
     except KeyboardInterrupt:
