@@ -126,7 +126,10 @@ class OnlineAdaptationSession:
 
         new_loss = float(res["loss"])  # the single host sync per frame
 
-        if self.mode == "MAD" and train_this_step:
+        # The reward/score update runs EVERY frame — only the train ops are
+        # dilation-gated (Stereo_Continual_Adaptation.py:212 gates the op,
+        # :225-238 updates scores and rolls loss_t_1/loss_t_2 unconditionally).
+        if self.mode == "MAD":
             if step_idx == 0:
                 self._loss_t1 = self._loss_t2 = new_loss
             expected = 2.0 * self._loss_t1 - self._loss_t2

@@ -228,3 +228,60 @@ def test_fused_session_matches_host_session(madnet_setup):
     np.testing.assert_allclose(
         stats["scores"], host.scores, rtol=1e-3, atol=1e-5
     )
+
+
+def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):
+    """Fused == host must hold with the full knob set exercised: training
+    dilated to every 3rd frame, block resampling every 2nd frame, and at
+    least one reset-triggering frame. The reference updates scores and
+    rolls loss_t_1/loss_t_2 EVERY frame while gating only the train ops on
+    dilation (Stereo_Continual_Adaptation.py:212,225-238)."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(8)]
+    kw = dict(
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        dilation=3,
+        sample_frequency=2,
+        seed=0,
+    )
+
+    # probe run (no resets) to pick a threshold that actually triggers
+    probe = OnlineAdaptationSession(
+        eng, jax.tree_util.tree_map(lambda x: x.copy(), params), ssim_th=1e9, **kw
+    )
+    probe_losses = [probe.step(f)["loss"] for f in frames]
+    th = (min(probe_losses) + max(probe_losses)) / 2.0
+
+    host = OnlineAdaptationSession(
+        eng, jax.tree_util.tree_map(lambda x: x.copy(), params), ssim_th=th, **kw
+    )
+    host_losses = [host.step(f)["loss"] for f in frames]
+    assert host.stats.reset_counter >= 1, "threshold never triggered a reset"
+
+    fused = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        ssim_th=th,
+        max_steps=16,
+        **kw,
+    )
+    for f in frames:
+        fused.step(f)
+    stats = fused.finalize()
+    np.testing.assert_allclose(stats["loss"], host_losses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["epe"], host.stats.epe, rtol=1e-4, atol=1e-4)
+    assert list(stats["fetch_counter"]) == host.stats.fetch_counter
+    assert int(stats["reset_count"]) == host.stats.reset_counter
+    np.testing.assert_allclose(stats["scores"], host.scores, rtol=1e-3, atol=1e-5)
+    # final weights agree too
+    np.testing.assert_allclose(
+        np.asarray(fused.state["params"]["pyramid"]["conv1"]["w"]),
+        np.asarray(host.params["pyramid"]["conv1"]["w"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
