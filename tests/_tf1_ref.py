@@ -63,3 +63,95 @@ def build_reference_net(tf1, model_name, left_ph, right_ph, **extra):
     args.update(extra)
     with tf1.variable_scope("model"):
         return Nets.get_stereo_net(model_name, args)
+
+
+def build_adaptation_graph(
+    tf1,
+    model_name,
+    shape,
+    lr,
+    mode,
+    block_config=None,
+    adaptation="reprojection",
+):
+    """Rebuild the reference's online-adaptation *training step* exactly
+    as Stereo_Online_Adaptation.py:54-128 (reprojection) /
+    Stereo_Continual_Adaptation.py:54-128 (proxy) do: net (bulkhead iff
+    MAD) + full-res loss + MomentumOptimizer(lr, 0.9) train ops (one per
+    MAD block restricted to that block's variables, or one FULL op).
+
+    Returns (placeholders dict, full_loss, block_losses, train_ops, net).
+    """
+    from Losses import loss_factory as ref_lf
+    from Data_utils import preprocessing as ref_pp
+
+    h, w = shape
+    ph = {
+        "left": tf1.placeholder(tf1.float32, [1, h, w, 3]),
+        "right": tf1.placeholder(tf1.float32, [1, h, w, 3]),
+        "target": tf1.placeholder(tf1.float32, [1, h, w, 1]),
+    }
+    if adaptation == "proxy":
+        ph["proxy"] = tf1.placeholder(tf1.float32, [1, h, w, 1])
+
+    net = build_reference_net(
+        tf1, model_name, ph["left"], ph["right"], bulkhead=(mode == "MAD")
+    )
+    predictions = net.get_disparities()
+
+    if adaptation == "reprojection":
+        full_loss = ref_lf.get_reprojection_loss("mean_SSIM_l1", reduced=True)(
+            predictions, ph
+        )
+        block_loss_factory = lambda p, inp: ref_lf.get_reprojection_loss(  # noqa: E731
+            "mean_SSIM_l1", reduced=True
+        )([p], inp)
+    else:
+        full_loss = ref_lf.get_proxy_loss(
+            "mean_l1", max_disp=192, weights=[0.01] * 10, reduced=True
+        )(predictions, ph)
+        block_loss_factory = lambda p, inp: ref_lf.get_proxy_loss(  # noqa: E731
+            "mean_l1", max_disp=192, weights=[0.1] * 10, reduced=True
+        )([p], inp)
+
+    trainer = tf1.train.MomentumOptimizer(lr, 0.9)
+    block_losses, train_ops = [], []
+    if mode == "MAD":
+        scale_preds = predictions[:-1]
+        assert len(scale_preds) == len(block_config)
+        for counter, p in enumerate(scale_preds):
+            multiplier = tf1.cast(
+                tf1.shape(ph["left"])[1] // tf1.shape(p)[1], tf1.float32
+            )
+            p = ref_pp.resize_to_prediction(p, ph["left"]) * multiplier
+            loss_k = block_loss_factory(p, ph)
+            var_acc = []
+            for name in block_config[counter]:
+                var_acc += net.get_variables(name)
+            block_losses.append(loss_k)
+            train_ops.append(trainer.minimize(loss_k, var_list=var_acc))
+    else:
+        train_ops.append(trainer.minimize(full_loss))
+    return ph, full_loss, block_losses, train_ops, net
+
+
+def assign_params_ops(tf1, net_params, name_map):
+    """Assignment ops setting every reference model variable from our
+    param pytree (asserting full coverage, as the forward parity test)."""
+    import numpy as np
+
+    gvars = [
+        v
+        for v in tf1.get_collection(tf1.GraphKeys.TRAINABLE_VARIABLES)
+        if v.name[:-2] in name_map
+    ]
+    all_model = [
+        v
+        for v in tf1.get_collection(tf1.GraphKeys.TRAINABLE_VARIABLES)
+        if v.name.startswith("model/")
+    ]
+    assert len(gvars) == len(all_model), "name map does not cover all model vars"
+    return gvars, [
+        tf1.assign(v, np.asarray(get_leaf(net_params, name_map[v.name[:-2]])))
+        for v in gvars
+    ]
