@@ -321,6 +321,12 @@ def get_reprojection_loss(
     def _warp(img, disp):
         if mode == "onehot":
             return warp_image_onehot(img, disp, warp_max_disp)
+        if mode == "mxu":
+            from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+                warp_image_mxu,
+            )
+
+            return warp_image_mxu(img, disp, warp_max_disp)
         if mode == "pallas":
             from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
                 warp_image_pallas,

@@ -215,6 +215,12 @@ class MADNet:
                     bound = -(-self.warp_max_disp // factor)  # ceil
                     if wmode == "onehot":
                         rf = warp_features_onehot(rf, u, bound, 4)
+                    elif wmode == "mxu":
+                        from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+                            warp_features_mxu,
+                        )
+
+                        rf = warp_features_mxu(rf, u, bound, 4)
                     elif wmode == "pallas":
                         from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
                             warp_features_pallas,

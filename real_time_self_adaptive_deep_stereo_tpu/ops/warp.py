@@ -41,8 +41,15 @@ __all__ = [
 
 
 def resolve_warp_mode(mode: str) -> str:
-    """'auto' -> 'shift' on TPU (gathers are pathologically slow there),
-    'gather' elsewhere (exact parity path, fast on CPU).
+    """'auto' -> 'onehot' on TPU, 'gather' elsewhere (exact parity path,
+    fast on CPU).
+
+    Measured on one v5e chip (MAD fused step, 384x1280): onehot 23.0
+    ms/step, mxu Pallas 30.7, shift ~27, gather 139.7. The Pallas
+    kernels win isolated micro-benchmarks but lose in-model: each
+    pallas_call is a fusion barrier plus NHWC<->NHCW transposes, while
+    XLA fuses the onehot compare/select chain straight into the einsum.
+    'mxu' stays available for standalone warping workloads.
 
     Uses the platform of the default device rather than
     ``jax.default_backend()`` (which can report an inactive plugin

@@ -390,3 +390,291 @@ def _warp_feat_bwd(max_neg, max_pos, interpret, res, g):
 
 
 warp_features_pallas.defvjp(_warp_feat_fwd, _warp_feat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# MXU-formulated warps: per-tile one-hot matmul built in VMEM.
+#
+# The jnp one-hot formulation (ops/warp.py warp_*_onehot) is the fastest
+# XLA path but materialises the sampling matrix M and its two selector
+# tensors through HBM — several hundred MB of traffic per full-res warp.
+# Here M is built tile-by-tile in VMEM from two iota compares and
+# contracted on the MXU immediately; HBM traffic collapses to the source
+# row + output (+ gradient) only. One kernel scheme serves both
+# reference samplers (clamp-to-edge image warp, preprocessing.py:121-230;
+# OOB-weight-zeroing feature warp, MadNet.py:400-436):
+#
+#   out[t, c, x] = sum_v win[t, c, v] * M[t, x, v]
+#   M[t, x, v]   = w0[t,x] * [v == rel0[t,x]] + w1[t,x] * [v == rel1[t,x]]
+#
+# with rel* the clamped sample positions relative to the (zero-padded)
+# row buffer. Backward reuses the same tiles: dwin = g·M (scatter-free —
+# the transpose matmul lands gradients in the padded row buffer), and
+# d_disp comes from resampling the two corners (v0, v1) with the
+# selector matrices. W is processed in 128-column tiles by a fori_loop
+# over lane-aligned dynamic slices; wrappers pad W up to a multiple of
+# 128. All matmuls run in f32 on the MXU (precision=highest).
+# ---------------------------------------------------------------------------
+
+_TX = 128  # output columns per tile (lane-aligned)
+
+
+def _mxu_weights(d, xs, w, kind, lo, hi):
+    """Bilinear weights + buffer-relative sample positions for one tile.
+
+    kind='image': cx = x - d, clamp-to-edge (weights unmasked);
+    kind='feat' : cx = x + d, out-of-range corner weights zeroed.
+    Returns (w0, w1, r0, r1, inrange) with r* relative to an origin at
+    -lpad (caller adds lpad - tile start).
+    """
+    dc = jnp.clip(d, lo, hi)
+    cx = xs - dc if kind == "image" else xs + dc
+    x0 = jnp.floor(cx)
+    x1 = x0 + 1.0
+    w1_ = cx - x0
+    w0_ = 1.0 - w1_
+    if kind == "feat":
+        in0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
+        in1 = ((x1 >= 0) & (x1 <= w - 1)).astype(jnp.float32)
+        w0_ = w0_ * in0
+        w1_ = w1_ * in1
+    else:
+        in0 = in1 = None
+    r0 = jnp.clip(x0, 0.0, float(w - 1))
+    r1 = jnp.clip(x1, 0.0, float(w - 1))
+    inrange = ((d >= lo) & (d <= hi)).astype(jnp.float32)
+    return w0_, w1_, r0, r1, in0, in1, inrange
+
+
+def _dot_bt(a, b):
+    """Batched A·Bᵀ: [T,M,V] x [T,N,V] -> [T,M,N] in f32 on the MXU."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mxu_fwd_kernel(
+    img_ref, disp_ref, out_ref, buf_ref,
+    *, kind: str, lo: float, hi: float, lpad: int, width: int, vlen: int
+):
+    img = img_ref[0]  # [TH, C, W]
+    th, c, w = img.shape
+    buf_ref[:, :, :lpad] = jnp.zeros((th, c, lpad), img.dtype)
+    buf_ref[:, :, lpad : lpad + w] = img
+    buf_ref[:, :, lpad + w :] = jnp.zeros(
+        (th, c, buf_ref.shape[2] - lpad - w), img.dtype
+    )
+    viota = jax.lax.broadcasted_iota(jnp.int32, (th, _TX, vlen), 2).astype(
+        jnp.float32
+    )  # Mosaic only lowers integer iota
+
+    def tile(k, _):
+        x0c = k * _TX
+        xs = (
+            jax.lax.broadcasted_iota(jnp.int32, (th, _TX), 1) + x0c
+        ).astype(jnp.float32)
+        d = disp_ref[0, :, pl.ds(pl.multiple_of(x0c, _TX), _TX)]
+        w0, w1, r0, r1, _, _, _ = _mxu_weights(d, xs, width, kind, lo, hi)
+        # sample positions relative to the window start (buffer col x0c)
+        rel0 = r0 + float(lpad) - x0c.astype(jnp.float32)
+        rel1 = r1 + float(lpad) - x0c.astype(jnp.float32)
+        m = w0[:, :, None] * (viota == rel0[:, :, None]) + w1[:, :, None] * (
+            viota == rel1[:, :, None]
+        )
+        win = buf_ref[:, :, pl.ds(pl.multiple_of(x0c, _TX), vlen)]
+        out_ref[0, :, :, pl.ds(pl.multiple_of(x0c, _TX), _TX)] = _dot_bt(win, m)
+        return 0
+
+    jax.lax.fori_loop(0, w // _TX, tile, 0)
+
+
+def _mxu_bwd_kernel(
+    img_ref, disp_ref, g_ref, dimg_ref, ddisp_ref, buf_ref, dbuf_ref,
+    *, kind: str, lo: float, hi: float, lpad: int, width: int, vlen: int
+):
+    img = img_ref[0]
+    th, c, w = img.shape
+    length = buf_ref.shape[2]
+    buf_ref[:, :, :lpad] = jnp.zeros((th, c, lpad), img.dtype)
+    buf_ref[:, :, lpad : lpad + w] = img
+    buf_ref[:, :, lpad + w :] = jnp.zeros((th, c, length - lpad - w), img.dtype)
+    dbuf_ref[...] = jnp.zeros((th, c, length), jnp.float32)
+    viota = jax.lax.broadcasted_iota(jnp.int32, (th, _TX, vlen), 2).astype(
+        jnp.float32
+    )  # Mosaic only lowers integer iota
+
+    def tile(k, _):
+        x0c = k * _TX
+        xs = (
+            jax.lax.broadcasted_iota(jnp.int32, (th, _TX), 1) + x0c
+        ).astype(jnp.float32)
+        d = disp_ref[0, :, pl.ds(pl.multiple_of(x0c, _TX), _TX)]
+        w0, w1, r0, r1, in0, in1, inrange = _mxu_weights(d, xs, width, kind, lo, hi)
+        rel0 = r0 + float(lpad) - x0c.astype(jnp.float32)
+        rel1 = r1 + float(lpad) - x0c.astype(jnp.float32)
+        sel0 = (viota == rel0[:, :, None]).astype(jnp.float32)
+        sel1 = (viota == rel1[:, :, None]).astype(jnp.float32)
+        m = w0[:, :, None] * sel0 + w1[:, :, None] * sel1
+        g_tile = g_ref[0, :, :, pl.ds(pl.multiple_of(x0c, _TX), _TX)]  # [TH, C, TX]
+        # dwin[t, v, c-major]: contract over output columns x
+        dwin = jax.lax.dot_general(
+            g_tile,
+            m,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TH, C, V]
+        # accumulate into the scratch ref (overlapping windows add up)
+        vsl = pl.ds(pl.multiple_of(x0c, _TX), vlen)
+        dbuf_ref[:, :, vsl] = dbuf_ref[:, :, vsl] + dwin
+        win = buf_ref[:, :, pl.ds(pl.multiple_of(x0c, _TX), vlen)]
+        v0 = _dot_bt(win, sel0)  # [TH, C, TX] sampled corner 0
+        v1 = _dot_bt(win, sel1)
+        if kind == "image":
+            dd = jnp.sum(g_tile * (v0 - v1), axis=1) * inrange
+        else:
+            dd = (
+                jnp.sum(
+                    g_tile * (in1[:, None, :] * v1 - in0[:, None, :] * v0), axis=1
+                )
+                * inrange
+            )
+        ddisp_ref[0, :, pl.ds(pl.multiple_of(x0c, _TX), _TX)] = dd
+        return 0
+
+    jax.lax.fori_loop(0, w // _TX, tile, 0)
+    dimg_ref[0] = dbuf_ref[:, :, lpad : lpad + w]
+
+
+def _mxu_call(img, disp, kind, lo, hi, lookback, interpret, grad=None):
+    """Shared pallas_call wrapper. img NHWC, disp NHW1. Pads W to /128."""
+    b, h, w, c = img.shape
+    wpad = (-w) % _TX
+    if wpad:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+        disp = jnp.pad(disp, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+        if grad is not None:
+            grad = jnp.pad(grad, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+    wp = w + wpad
+    lpad = _align128(lookback + 1)
+    vlen = lpad + 2 * _TX  # window: [x0-lpad, x0+TX+128) — covers i1 <= x+129
+    th = _pick_th(h)
+    length = _align128(lpad + wp + _TX)
+    imgt = img.transpose(0, 1, 3, 2)
+    dispt = disp[..., 0]
+    kw = dict(kind=kind, lo=lo, hi=hi, lpad=lpad, width=wp, vlen=vlen)
+    if grad is None:
+        out = pl.pallas_call(
+            functools.partial(_mxu_fwd_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((b, h, c, wp), jnp.float32),
+            grid=(b, h // th),
+            in_specs=[
+                pl.BlockSpec((1, th, c, wp), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, th, wp), lambda i, j: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, th, c, wp), lambda i, j: (i, j, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((th, c, length), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * wp * c * vlen,
+                bytes_accessed=(2 * b * h * wp * c + b * h * wp) * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(imgt, dispt)
+        out = out.transpose(0, 1, 3, 2)
+        return out[:, :, :w, :] if wpad else out
+    gt = grad.transpose(0, 1, 3, 2)
+    dimg_t, ddisp = pl.pallas_call(
+        functools.partial(_mxu_bwd_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, c, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, wp), jnp.float32),
+        ),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, c, wp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, th, wp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, th, c, wp), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, c, wp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, th, wp), lambda i, j: (i, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th, c, length), jnp.float32),
+            pltpu.VMEM((th, c, length), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * wp * c * vlen,
+            bytes_accessed=(4 * b * h * wp * c + 2 * b * h * wp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(imgt, dispt, gt)
+    dimg = dimg_t.transpose(0, 1, 3, 2)
+    if wpad:
+        dimg = dimg[:, :, :w, :]
+        ddisp = ddisp[:, :, :w]
+    return dimg, ddisp[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def warp_image_mxu(
+    img: jnp.ndarray, disp: jnp.ndarray, max_disp: int = 192, interpret: bool = False
+):
+    """MXU-tiled ``warp_image`` (clamp-to-edge, x' = x - disp): exact
+    match of ops.warp.warp_image for 0 <= disp <= max_disp."""
+    return _mxu_call(img, disp, "image", 0.0, float(max_disp), max_disp, interpret)
+
+
+def _warp_image_mxu_fwd(img, disp, max_disp, interpret):
+    return _mxu_call(
+        img, disp, "image", 0.0, float(max_disp), max_disp, interpret
+    ), (img, disp)
+
+
+def _warp_image_mxu_bwd(max_disp, interpret, res, g):
+    img, disp = res
+    return _mxu_call(
+        img, disp, "image", 0.0, float(max_disp), max_disp, interpret, grad=g
+    )
+
+
+warp_image_mxu.defvjp(_warp_image_mxu_fwd, _warp_image_mxu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def warp_features_mxu(
+    feats: jnp.ndarray,
+    dx: jnp.ndarray,
+    max_neg: int = 64,
+    max_pos: int = 4,
+    interpret: bool = False,
+):
+    """MXU-tiled ``warp_features_horizontal`` (OOB-zeroing, x' = x + dx):
+    exact match of ops.warp.warp_features_horizontal for
+    -max_neg <= dx <= max_pos."""
+    return _mxu_call(
+        feats, dx, "feat", -float(max_neg), float(max_pos), max_neg, interpret
+    )
+
+
+def _warp_feat_mxu_fwd(feats, dx, max_neg, max_pos, interpret):
+    return _mxu_call(
+        feats, dx, "feat", -float(max_neg), float(max_pos), max_neg, interpret
+    ), (feats, dx)
+
+
+def _warp_feat_mxu_bwd(max_neg, max_pos, interpret, res, g):
+    feats, dx = res
+    return _mxu_call(
+        feats, dx, "feat", -float(max_neg), float(max_pos), max_neg, interpret,
+        grad=g,
+    )
+
+
+warp_features_mxu.defvjp(_warp_feat_mxu_fwd, _warp_feat_mxu_bwd)

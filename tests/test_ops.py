@@ -265,3 +265,53 @@ def test_warp_onehot_grads_match_gather():
         lambda d: jnp.sum(jnp.sin(warp_features_onehot(feats, d, 8, 4, 8)))
     )(dx)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_warp_mxu_interpret_matches_gather():
+    """MXU one-hot-matmul Pallas kernels (interpret mode): forward parity
+    with the gather oracles, including the W-padding path (W % 128 != 0)."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+        warp_features_mxu,
+        warp_image_mxu,
+    )
+
+    img = jnp.asarray(rng.normal(size=(2, 8, 200, 3)).astype(np.float32))
+    disp = jnp.asarray((rng.random((2, 8, 200, 1)) * 30).astype(np.float32))
+    a = np.asarray(warp_image(img, disp))
+    b = np.asarray(warp_image_mxu(img, disp, 32, True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    feats = jnp.asarray(rng.normal(size=(1, 8, 140, 6)).astype(np.float32))
+    dx = jnp.asarray((rng.random((1, 8, 140, 1)) * -20 + 3).astype(np.float32))
+    a = np.asarray(warp_features_horizontal(feats, dx))
+    b = np.asarray(warp_features_mxu(feats, dx, 20, 4, True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_mxu_interpret_grads_match_gather():
+    """Custom-VJP of the MXU kernels vs autodiff of the gather oracles,
+    for both the source and the disparity inputs."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+        warp_features_mxu,
+        warp_image_mxu,
+    )
+
+    img = jnp.asarray(rng.normal(size=(1, 8, 136, 2)).astype(np.float32))
+    disp = jnp.asarray((rng.random((1, 8, 136, 1)) * 10 + 0.3).astype(np.float32))
+    g1 = jax.grad(lambda i, d: jnp.sum(jnp.sin(warp_image(i, d))), (0, 1))(img, disp)
+    g2 = jax.grad(
+        lambda i, d: jnp.sum(jnp.sin(warp_image_mxu(i, d, 12, True))), (0, 1)
+    )(img, disp)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    feats = jnp.asarray(rng.normal(size=(1, 8, 132, 4)).astype(np.float32))
+    dx = jnp.asarray((rng.random((1, 8, 132, 1)) * -6 + 1).astype(np.float32))
+    g1 = jax.grad(
+        lambda f, d: jnp.sum(jnp.sin(warp_features_horizontal(f, d))), (0, 1)
+    )(feats, dx)
+    g2 = jax.grad(
+        lambda f, d: jnp.sum(jnp.sin(warp_features_mxu(f, d, 8, 4, True))), (0, 1)
+    )(feats, dx)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
