@@ -68,9 +68,19 @@ class FusedOnlineSession:
         dilation: int = 1,
         max_steps: int = 100_000,
         seed: int = 0,
+        mesh=None,
+        spatial_axis: str = "data",
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
+        compiled under GSPMD with the controller state replicated and
+        the frame sharded along image width over ``spatial_axis``
+        (spatial parallelism for the flagship MAD mode: one camera
+        stream riding a whole pod slice; net-new vs the single-GPU
+        reference, SURVEY.md §5)."""
         if mode not in ("NONE", "FULL", "MAD"):
             raise ValueError(f"unknown mode {mode!r}")
+        self.mesh = mesh
+        self.spatial_axis = spatial_axis
         self.engine = engine
         self.mode = mode
         self.sample_mode = sample_mode
@@ -85,6 +95,7 @@ class FusedOnlineSession:
         self.n_actions = len(engine.blocks) if mode == "MAD" else 1
 
         self.state = self._init_state(params, seed)
+        self.last_disp = None  # async device array after each step()
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------ state
@@ -276,14 +287,34 @@ class FusedOnlineSession:
                 "d1": state["d1"].at[i].set(d1),
                 "loss": state["loss"].at[i].set(new_loss),
             }
-            return new_state
+            return new_state, disp
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            wsh = NamedSharding(self.mesh, P(None, None, self.spatial_axis))
+            # state replicated, frame width-sharded (pytree-prefix
+            # shardings); GSPMD partitions the convs with halo exchange
+            # and all-reduces the loss/metric scalars
+            return jax.jit(
+                step,
+                in_shardings=(repl, wsh),
+                out_shardings=(repl, wsh),
+                donate_argnums=(0,),
+            )
         return jax.jit(step, donate_argnums=(0,))
 
     # -------------------------------------------------------------------- api
     def step(self, frame: Dict) -> None:
-        """Async: dispatches one frame; returns immediately."""
-        self.state = self._step_fn(self.state, frame)
+        """Async: dispatches one frame; returns immediately.
+
+        The frame's full-resolution disparity is kept as ``last_disp``
+        (an async device array) so callers that need per-stride
+        artifacts (PNG dumps / TB images, Stereo_Online_Adaptation.py
+        :135-136,246-251) can ``jax.device_get`` it at their own
+        cadence without forcing a sync on every frame."""
+        self.state, self.last_disp = self._step_fn(self.state, frame)
 
     def finalize(self) -> Dict[str, np.ndarray]:
         """Block + transfer the accumulated statistics (one sync)."""

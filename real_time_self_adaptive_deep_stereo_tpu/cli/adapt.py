@@ -52,10 +52,11 @@ def build_argparser() -> argparse.ArgumentParser:
         "--sessionMode",
         default="auto",
         choices=["auto", "fused", "host"],
-        help="fused = fully on-device controller (fastest; no per-frame "
-        "host output); host = reference-style loop with per-frame "
-        "logging/PNG dumps. auto picks fused unless per-frame artifacts "
-        "were requested.",
+        help="fused = fully on-device controller (fastest; console "
+        "progress logs unavailable, but PNG dumps / TB summaries are "
+        "still emitted at their stride); host = reference-style loop "
+        "with per-frame logging. auto picks fused unless per-frame "
+        "artifacts were requested.",
     )
     return p
 
@@ -157,14 +158,49 @@ def _run_fused(args, engine, params, dataset, max_steps):
         max_steps=max_steps + 8,
         seed=args.seed or 0,
     )
+    import jax as _jax
+
+    from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
+        save_disparity_png,
+    )
+
+    writer = _make_summary_writer(args.output) if args.summary else None
+
     t0 = _time.perf_counter()
     steps = 0
     for frame in prefetch_to_device(iter(dataset), size=2):
         session.step(frame)
+        # per-stride artifacts: fetching last_disp syncs, so it happens
+        # only every logDispStep / 100 frames (reference cadence,
+        # Stereo_Online_Adaptation.py:135-136,246-251)
+        if args.logDispStep != -1 and steps % args.logDispStep == 0:
+            save_disparity_png(
+                os.path.join(args.output, "disparities", f"disparity_{steps}.png"),
+                np.asarray(_jax.device_get(session.last_disp))[0],
+                MAX_DISP,
+            )
+        if writer is not None and steps % 100 == 0:
+            _write_image_summaries(
+                writer,
+                steps,
+                np.asarray(_jax.device_get(session.last_disp))[0],
+                np.asarray(_jax.device_get(frame["target"]))[0],
+            )
         steps += 1
     session.block_until_ready()
     exec_time = _time.perf_counter() - t0
     host = session.finalize()
+
+    if writer is not None:
+        # the ring buffers hold per-frame metrics: emit the full scalar
+        # series post-hoc (richer than the reference's every-100 logging)
+        import tensorflow as tf
+
+        with writer.as_default():
+            for i in range(host["steps"]):
+                tf.summary.scalar("EPE", host["epe"][i], step=i)
+                tf.summary.scalar("bad3", host["bad3"][i], step=i)
+        writer.flush()
 
     stats = SessionStats(
         epe=list(host["epe"]),
@@ -211,14 +247,7 @@ def _run_host(args, engine, params, dataset, max_steps):
         seed=args.seed,
     )
 
-    writer = None
-    if args.summary:
-        try:
-            import tensorflow as tf
-
-            writer = tf.summary.create_file_writer(args.output)
-        except ImportError:
-            print("tensorboard summaries unavailable (no tensorflow)")
+    writer = _make_summary_writer(args.output) if args.summary else None
 
     start = time.perf_counter()
     for step, frame in enumerate(prefetch_to_device(iter(dataset), size=2)):
@@ -238,6 +267,12 @@ def _run_host(args, engine, params, dataset, max_steps):
 
                     tf.summary.scalar("EPE", out["epe"], step=step)
                     tf.summary.scalar("bad3", out["bad3"], step=step)
+                _write_image_summaries(
+                    writer,
+                    step,
+                    np.asarray(out["disp"])[0],
+                    np.asarray(frame["target"])[0],
+                )
 
         if args.logDispStep != -1 and step % args.logDispStep == 0:
             save_disparity_png(
@@ -255,6 +290,41 @@ def _run_host(args, engine, params, dataset, max_steps):
         "avg_bad3": float(np.mean(stats.bad3)) if stats.bad3 else float("nan"),
         "resets": stats.reset_counter,
     }
+
+
+def _make_summary_writer(output: str):
+    try:
+        import tensorflow as tf
+
+        return tf.summary.create_file_writer(output)
+    except ImportError:
+        print("tensorboard summaries unavailable (no tensorflow)")
+        return None
+
+
+def _write_image_summaries(writer, step: int, disp: np.ndarray, gt: np.ndarray):
+    """Colorized full_res_disp / gt_disp TB images, matching reference
+    Stereo_Online_Adaptation.py:135-136 (preprocessing.colorize_img,
+    cmap='jet', max_outputs=1)."""
+    import tensorflow as tf
+
+    from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
+        colorize_disparity,
+    )
+
+    with writer.as_default():
+        tf.summary.image(
+            "full_res_disp",
+            colorize_disparity(disp, cmap="jet")[None].astype(np.float32),
+            step=step,
+            max_outputs=1,
+        )
+        tf.summary.image(
+            "gt_disp",
+            colorize_disparity(gt, cmap="jet")[None].astype(np.float32),
+            step=step,
+            max_outputs=1,
+        )
 
 
 def write_stats(output: str, stats) -> None:
