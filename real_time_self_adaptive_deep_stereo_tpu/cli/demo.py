@@ -31,7 +31,8 @@ class RealTimeStereo(threading.Thread):
         self,
         in_queue: queue.Queue,
         session,
-        image_shape=(320, 640),
+        image_shape=(480, 640),
+        crop_shape=(320, 512),
         display: str = "cv2",
         out_dir: str | None = None,
         max_frames: int | None = None,
@@ -39,7 +40,11 @@ class RealTimeStereo(threading.Thread):
         super().__init__(daemon=True)
         self.queue = in_queue
         self.session = session
-        self.image_shape = tuple(image_shape)
+        # rescale-then-crop input stages, as the reference demo
+        # (demo_model.py:80-86): image_shape is the bilinear rescale
+        # target, crop_shape the centered crop; either may be None.
+        self.image_shape = tuple(image_shape) if image_shape else None
+        self.crop_shape = tuple(crop_shape) if crop_shape else None
         self.display = display
         self.out_dir = out_dir
         self.max_frames = max_frames
@@ -55,13 +60,13 @@ class RealTimeStereo(threading.Thread):
 
         from real_time_self_adaptive_deep_stereo_tpu.data.readers import (
             center_crop_or_pad,
+            resize_image_np,
         )
         from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
             colorize_disparity,
             save_disparity_png,
         )
 
-        h, w = self.image_shape
         n = 0
         while not self._stop_evt.is_set():
             try:
@@ -71,8 +76,14 @@ class RealTimeStereo(threading.Thread):
             if item is None:
                 break
             t0 = time.perf_counter()
-            left = center_crop_or_pad(item[0], h, w)
-            right = center_crop_or_pad(item[1], h, w)
+            left, right = item[0], item[1]
+            if self.image_shape is not None:
+                left = resize_image_np(left, *self.image_shape)
+                right = resize_image_np(right, *self.image_shape)
+            if self.crop_shape is not None:
+                left = center_crop_or_pad(left, *self.crop_shape)
+                right = center_crop_or_pad(right, *self.crop_shape)
+            h, w = left.shape[:2]
             frame = {
                 "left": jnp.asarray(left[None]),
                 "right": jnp.asarray(right[None]),
@@ -98,7 +109,10 @@ class RealTimeStereo(threading.Thread):
                     2,
                 )
                 cv2.imshow("disparity", vis)
+                # left + right input windows, as the reference demo
+                # (demo_model.py:219-225)
                 cv2.imshow("left", left.astype(np.uint8)[..., ::-1])
+                cv2.imshow("right", right.astype(np.uint8)[..., ::-1])
                 cv2.waitKey(1)
             elif self.out_dir:
                 os.makedirs(self.out_dir, exist_ok=True)
@@ -126,7 +140,22 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="MAD", choices=["NONE", "FULL", "MAD"])
     p.add_argument("--lr", type=float, default=0.0001)
     p.add_argument("--sampleMode", default="PROBABILITY", choices=AVAILABLE_SAMPLER)
-    p.add_argument("--imageShape", type=int, nargs="+", default=[320, 640])
+    p.add_argument(
+        "--imageShape",
+        type=int,
+        nargs="+",
+        default=[480, 640],
+        help="rescale camera frames to [height,width] before cropping "
+        "(reference demo default 480x640); -1 to disable",
+    )
+    p.add_argument(
+        "--cropShape",
+        type=int,
+        nargs="+",
+        default=[320, 512],
+        help="centered crop applied after the rescale (reference demo "
+        "default 320x512); -1 to disable",
+    )
     p.add_argument("--SSIMTh", type=float, default=0.5)
     p.add_argument("--camera", default="folder")
     p.add_argument("--list", default=None, help="pair list for --camera folder")
@@ -174,10 +203,13 @@ def main(args) -> float:
 
     q: queue.Queue = queue.Queue(maxsize=1)
     cam = get_camera(args.camera, q, list_file=args.list, loop=args.loop)
+    image_shape = None if args.imageShape[0] == -1 else args.imageShape
+    crop_shape = None if args.cropShape[0] == -1 else args.cropShape
     worker = RealTimeStereo(
         q,
         session,
-        image_shape=args.imageShape,
+        image_shape=image_shape,
+        crop_shape=crop_shape,
         display=args.display,
         out_dir=args.outDir,
         max_frames=args.maxFrames,

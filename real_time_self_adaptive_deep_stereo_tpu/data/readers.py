@@ -41,6 +41,7 @@ __all__ = [
     "load_gt",
     "random_crop",
     "center_crop_or_pad",
+    "resize_image_np",
     "augment",
     "StereoDataset",
     "prefetch_to_device",
@@ -159,6 +160,25 @@ def center_crop_or_pad(img: np.ndarray, th: int, tw: int) -> np.ndarray:
             img, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
         )
     return img
+
+
+def resize_image_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side bilinear resize with TF1-legacy semantics ([H,W,C]).
+
+    Numpy twin of ``ops.resize.resize_bilinear`` (same interpolation
+    matrices), used by the live demo's input rescale stage
+    (Demo/demo_model.py:80-82 via preprocessing.rescale_image)."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.resize import _interp_matrix
+
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    x = img.astype(np.float32)
+    if h != out_h:
+        x = np.einsum("oh,hwc->owc", _interp_matrix(h, out_h), x)
+    if w != out_w:
+        x = np.einsum("ow,hwc->hoc", _interp_matrix(w, out_w), x)
+    return x.astype(img.dtype)
 
 
 def augment(

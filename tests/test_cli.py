@@ -84,6 +84,35 @@ def test_adapt_cli_mad(tiny_dataset, initial_weights, tmp_path):
     assert os.path.exists(os.path.join(out, "disparities", "disparity_0.png"))
 
 
+def test_adapt_cli_fused_emits_artifacts(tiny_dataset, initial_weights, tmp_path):
+    """Explicit --sessionMode fused + --logDispStep must still dump the
+    per-stride disparity PNGs (round-1 gap: they were silently skipped)."""
+    from real_time_self_adaptive_deep_stereo_tpu.cli import adapt
+
+    out = str(tmp_path / "outf")
+    args = adapt.build_argparser().parse_args(
+        [
+            "-l", tiny_dataset,
+            "-o", out,
+            "--weights", initial_weights,
+            "--modelName", "MADNet",
+            "--blockConfig", "block_config/MadNet_full.json",
+            "--mode", "MAD",
+            "--imageShape", str(H), str(W),
+            "--sampleMode", "SEQUENTIAL",
+            "--corrMode", "jnp",
+            "--sessionMode", "fused",
+            "--logDispStep", "2",
+            "--seed", "0",
+        ]
+    )
+    os.makedirs(out, exist_ok=True)
+    result = adapt.main(args)
+    assert np.isfinite(result["avg_epe"])
+    assert os.path.exists(os.path.join(out, "disparities", "disparity_0.png"))
+    assert os.path.exists(os.path.join(out, "disparities", "disparity_2.png"))
+
+
 def test_adapt_continual_cli(tiny_dataset, initial_weights, tmp_path):
     from real_time_self_adaptive_deep_stereo_tpu.cli import adapt_continual
 
@@ -156,6 +185,7 @@ def test_demo_headless(tiny_dataset, initial_weights, tmp_path):
             "--display", "none",
             "--outDir", out,
             "--imageShape", str(H), str(W),
+            "--cropShape", str(H), str(W),
             "--maxFrames", "3",
             "--seed", "0",
         ]
