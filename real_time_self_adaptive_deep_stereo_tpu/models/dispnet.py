@@ -111,25 +111,44 @@ class DispNet:
         out = conv2d(p["concat"], merged, activation=_linear)
         return out, predict
 
-    def forward(self, params: Dict, left: jnp.ndarray, right: jnp.ndarray) -> Dict:
+    def extract_features(
+        self, params: Dict, left: jnp.ndarray, right: jnp.ndarray
+    ) -> Dict:
+        """Stage 1 of the split forward: siamese feature extraction up to
+        the correlation inputs. TPU equivalent of the reference's
+        split/placeholder machinery (Stereo_net.py:81-97) — lets a
+        serving pipeline cut the graph after the shared encoders."""
         b, h, w, _ = left.shape
-        hp, wp = padded_shape(h, w, 64)
         li = pad_image(left.astype(jnp.float32) / 255.0 - 100.0 / 255.0, 64)
         ri = pad_image(right.astype(jnp.float32) / 255.0 - 100.0 / 255.0, 64)
-
-        disparities: List[jnp.ndarray] = []
+        feats: Dict = {"orig_hw": (h, w)}
         if self.correlation:
             c1a = conv2d(params["conv1"], li, strides=2)
             c1b = conv2d(params["conv1"], ri, strides=2)
             c2a = conv2d(params["conv2"], c1a, strides=2)
             c2b = conv2d(params["conv2"], c1b, strides=2)
+            feats.update({"c1a": c1a, "c2a": c2a, "c2b": c2b})
+        else:
+            c1 = conv2d(params["conv1"], jnp.concatenate([li, ri], axis=-1), strides=2)
+            c2 = conv2d(params["conv2"], c1, strides=2)
+            feats.update({"c1": c1, "c2": c2})
+        return feats
+
+    def estimate_from_features(self, params: Dict, feats: Dict) -> Dict:
+        """Stage 2 of the split forward: correlation + encoder tail +
+        decoder, producing the disparity pyramid."""
+        h, w = feats["orig_hw"]
+        hp, wp = padded_shape(h, w, 64)
+
+        disparities: List[jnp.ndarray] = []
+        if self.correlation:
+            c1a, c2a, c2b = feats["c1a"], feats["c2a"], feats["c2b"]
             redir = conv2d(params["conv_redir"], c2a)
             corr = correlation(c2a, c2b, MAX_DISP, mode=self.corr_mode)
             c3 = conv2d(params["conv3"], jnp.concatenate([corr, redir], axis=-1), strides=2)
             skip2, skip1 = c2a, c1a
         else:
-            c1 = conv2d(params["conv1"], jnp.concatenate([li, ri], axis=-1), strides=2)
-            c2 = conv2d(params["conv2"], c1, strides=2)
+            c1, c2 = feats["c1"], feats["c2"]
             c3 = conv2d(params["conv3"], c2, strides=2)
             skip2, skip1 = c2, c1
 
@@ -154,6 +173,10 @@ class DispNet:
         full_res = crop_or_pad(rescaled, h, w)
         disparities.append(full_res)
         return {"disparities": disparities, "full_res_disp": full_res}
+
+    def forward(self, params: Dict, left: jnp.ndarray, right: jnp.ndarray) -> Dict:
+        feats = self.extract_features(params, left, right)
+        return self.estimate_from_features(params, feats)
 
     # --------------------------------------------------------------- mapping
     @staticmethod

@@ -285,3 +285,43 @@ def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+# ----------------------------------------------------- dispnet MAD + splits
+
+
+def test_dispnet_mad_runs_with_6_group_config():
+    """DispNet MAD end-to-end with the corrected 6-group block config
+    (the reference ships a 5-group dispnet_full.json that cannot satisfy
+    its own len(predictions)==len(config) assert — kept as-is for
+    parity; dispnet_full_6.json is the working extra)."""
+    net = get_stereo_net("Dispnet", corr_mode="jnp")
+    params = net.init(jax.random.PRNGKey(0))
+    groups = load_block_config("block_config/dispnet_full_6.json")
+    blocks = make_blocks(groups, net.layer_to_path)
+    assert len(blocks) == net.num_adaptable_predictions == 6
+    eng = AdaptationEngine(net, blocks, lr=1e-4)
+    sess = OnlineAdaptationSession(
+        eng, params, mode="MAD", sample_mode="SEQUENTIAL", seed=0
+    )
+    f = _frame()
+    for _ in range(2):
+        out = sess.step(f)
+    assert np.isfinite(out["loss"])
+
+
+@pytest.mark.parametrize("name", ["MADNet", "Dispnet"])
+def test_split_forward_matches_whole_forward(name):
+    """extract_features + estimate_from_features == forward (the TPU
+    equivalent of the reference's split/placeholder machinery,
+    Stereo_net.py:81-97), for both model families."""
+    net = get_stereo_net(name, corr_mode="jnp")
+    params = net.init(jax.random.PRNGKey(1))
+    f = _frame()
+    whole = net.forward(params, f["left"], f["right"])
+    feats = net.extract_features(params, f["left"], f["right"])
+    staged = net.estimate_from_features(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(whole["full_res_disp"]), np.asarray(staged["full_res_disp"])
+    )
+    assert len(whole["disparities"]) == len(staged["disparities"])
