@@ -107,3 +107,59 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_mad_fused_step_under_mesh_matches_single_device(model_and_params):
+    """The flagship fused MAD step (lax.switch + subtree update + reward
+    controller) compiled under GSPMD with the frame width-sharded must
+    reproduce the single-device trajectory."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+        AdaptationEngine,
+        load_block_config,
+        make_blocks,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    model = get_stereo_net("MADNet", bulkhead=True, corr_mode="jnp")
+    params = model.init(jax.random.PRNGKey(0))
+    blocks = make_blocks(
+        load_block_config("block_config/MadNet_full.json"), model.layer_to_path
+    )
+    engine = AdaptationEngine(model, blocks, lr=1e-4)
+    frames = [_batch(1) for _ in range(3)]
+
+    def run(mesh):
+        sess = FusedOnlineSession(
+            engine,
+            jax.tree_util.tree_map(lambda x: x.copy(), params),
+            mode="MAD",
+            sample_mode="SEQUENTIAL",
+            max_steps=8,
+            seed=0,
+            mesh=mesh,
+        )
+        sh = width_sharded(mesh)
+        for f in frames:
+            sess.step(shard_batch(f, sh))
+        return sess.finalize(), sess.state["params"]
+
+    host_multi, p_multi = run(make_mesh(8))
+    host_single, p_single = run(make_mesh(1))
+
+    np.testing.assert_allclose(
+        host_multi["loss"], host_single["loss"], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        host_multi["epe"], host_single["epe"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        host_multi["fetch_counter"], host_single["fetch_counter"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_multi["estimator_6"]["disp1"]["w"]),
+        np.asarray(p_single["estimator_6"]["disp1"]["w"]),
+        rtol=1e-3,
+        atol=1e-6,
+    )
