@@ -26,6 +26,95 @@ WARMUP = 10
 ITERS = 100
 
 
+def selftest(verbose: bool = False) -> None:
+    """Value-check the compiled TPU kernels against their jnp oracles at
+    bench-relevant shapes (forward AND custom-VJP gradients). The round-1
+    gap this closes: Pallas kernels were only ever validated in interpret
+    mode on CPU; a mis-compiled Mosaic kernel would silently corrupt
+    adaptation. Runs on whatever the default JAX device is — the real
+    chip when the driver executes bench.py.
+
+    Raises AssertionError on any mismatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_self_adaptive_deep_stereo_tpu.ops.correlation import (
+        correlation_jnp,
+        correlation_pallas,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+        warp_features_horizontal,
+        warp_features_onehot,
+        warp_image,
+        warp_image_onehot,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp_pallas import (
+        warp_features_mxu,
+        warp_features_pallas,
+        warp_image_mxu,
+        warp_image_pallas,
+    )
+
+    rng = np.random.default_rng(42)
+    results = {}
+
+    def check(name, got, want, tol=2e-5):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = max(float(np.abs(want).max()), 1.0)
+        err = float(np.abs(got - want).max()) / scale
+        results[name] = err
+        assert err < tol, f"kernel selftest {name}: rel err {err:.2e} >= {tol:.0e}"
+
+    # 1-D correlation (MADNet scale-2 feature shape), fwd + vjp
+    x = jnp.asarray(rng.normal(size=(1, 96, 320, 32)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 96, 320, 32)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(1, 96, 320, 5)).astype(np.float32))
+    f_pal = jax.jit(lambda a, b: correlation_pallas(a, b, 2))
+    f_jnp = jax.jit(lambda a, b: correlation_jnp(a, b, 2))
+    check("corr_fwd", f_pal(x, y), f_jnp(x, y))
+    g_pal = jax.jit(jax.grad(lambda a, b: jnp.vdot(correlation_pallas(a, b, 2), ct), (0, 1)))
+    g_jnp = jax.jit(jax.grad(lambda a, b: jnp.vdot(correlation_jnp(a, b, 2), ct), (0, 1)))
+    for i, n in enumerate(("corr_dx", "corr_dy")):
+        check(n, g_pal(x, y)[i], g_jnp(x, y)[i])
+
+    # feature warp (scale-2 shape, dx within the static bounds)
+    feats = jnp.asarray(rng.normal(size=(1, 96, 320, 32)).astype(np.float32))
+    dx = jnp.asarray((rng.random((1, 96, 320, 1)) * 50 - 46).astype(np.float32))
+    fct = jnp.asarray(rng.normal(size=feats.shape).astype(np.float32))
+    want = jax.jit(warp_features_horizontal)(feats, dx)
+    check("warp_feat_onehot", jax.jit(lambda f, d: warp_features_onehot(f, d, 48, 4))(feats, dx), want)
+    check("warp_feat_pallas", jax.jit(lambda f, d: warp_features_pallas(f, d, 48, 4))(feats, dx), want)
+    check("warp_feat_mxu", jax.jit(lambda f, d: warp_features_mxu(f, d, 48, 4))(feats, dx), want)
+    gw = jax.jit(jax.grad(lambda f, d: jnp.vdot(warp_features_horizontal(f, d), fct), (0, 1)))(feats, dx)
+    go = jax.jit(jax.grad(lambda f, d: jnp.vdot(warp_features_onehot(f, d, 48, 4), fct), (0, 1)))(feats, dx)
+    gp = jax.jit(jax.grad(lambda f, d: jnp.vdot(warp_features_pallas(f, d, 48, 4), fct), (0, 1)))(feats, dx)
+    gm = jax.jit(jax.grad(lambda f, d: jnp.vdot(warp_features_mxu(f, d, 48, 4), fct), (0, 1)))(feats, dx)
+    for i, n in enumerate(("warp_feat_dfeats", "warp_feat_ddx")):
+        check(f"{n}_onehot", go[i], gw[i], tol=1e-4)
+        check(f"{n}_pallas", gp[i], gw[i], tol=1e-4)
+        check(f"{n}_mxu", gm[i], gw[i], tol=1e-4)
+
+    # image warp at the bench resolution (the loss-path warp)
+    img = jnp.asarray((rng.random((1, H, W, 3)) * 255).astype(np.float32))
+    disp = jnp.asarray((rng.random((1, H, W, 1)) * 180).astype(np.float32))
+    want = jax.jit(warp_image)(img, disp)
+    check("warp_img_onehot", jax.jit(lambda a, d: warp_image_onehot(a, d, 192))(img, disp), want)
+    check("warp_img_pallas", jax.jit(lambda a, d: warp_image_pallas(a, d, 192))(img, disp), want)
+    check("warp_img_mxu", jax.jit(lambda a, d: warp_image_mxu(a, d, 192))(img, disp), want)
+    ict = jnp.asarray(rng.normal(size=img.shape).astype(np.float32))
+    giw = jax.jit(jax.grad(lambda a, d: jnp.vdot(warp_image(a, d), ict), (0, 1)))(img, disp)
+    gim = jax.jit(jax.grad(lambda a, d: jnp.vdot(warp_image_mxu(a, d, 192), ict), (0, 1)))(img, disp)
+    for i, n in enumerate(("warp_img_dimg_mxu", "warp_img_ddisp_mxu")):
+        check(n, gim[i], giw[i], tol=1e-4)
+
+    if verbose:
+        for k, v in results.items():
+            print(json.dumps({"selftest": k, "rel_err": v}))
+        platform = jax.devices()[0].platform
+        print(f"kernel selftest ok on {platform}: {len(results)} checks", flush=True)
+
+
 def main() -> None:
     import jax
 
@@ -50,6 +139,11 @@ def main() -> None:
     # standard TPU conv precision (bf16 multiplies, fp32 accumulation);
     # set BENCH_PRECISION=highest for the fp32-exact parity mode
     set_conv_precision(os.environ.get("BENCH_PRECISION", "default"))
+
+    # value-check the compiled kernels on this chip before timing
+    # (skippable for quick FPS iterations via BENCH_SKIP_SELFTEST=1)
+    if not os.environ.get("BENCH_SKIP_SELFTEST"):
+        selftest()
 
     model = get_stereo_net("MADNet", bulkhead=True)
     params = model.init(jax.random.PRNGKey(0))
@@ -106,4 +200,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--selftest" in sys.argv:
+        selftest(verbose=True)
+    else:
+        main()
