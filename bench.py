@@ -159,6 +159,7 @@ def main() -> None:
         ssim_th=1e9,  # never reset during the bench
         max_steps=WARMUP + ITERS + 8,
         seed=0,
+        shared_forward=os.environ.get("BENCH_SHARED", "1") != "0",
     )
 
     rng = np.random.default_rng(0)

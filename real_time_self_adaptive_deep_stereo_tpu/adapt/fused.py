@@ -33,9 +33,11 @@ import numpy as np
 
 from real_time_self_adaptive_deep_stereo_tpu.adapt.engine import (
     AdaptationEngine,
+    _scale_tensor,
     d1_metric,
     disparity_metrics,
 )
+from real_time_self_adaptive_deep_stereo_tpu.ops.resize import resize_to
 
 __all__ = ["FusedOnlineSession"]
 
@@ -70,6 +72,7 @@ class FusedOnlineSession:
         seed: int = 0,
         mesh=None,
         spatial_axis: str = "data",
+        shared_forward: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -93,6 +96,21 @@ class FusedOnlineSession:
         self.dilation = max(1, dilation)
         self.max_steps = max_steps
         self.n_actions = len(engine.blocks) if mode == "MAD" else 1
+        # the shared-forward MAD step (one forward + one dynamically-
+        # selected backward + leaf-masked update) replaces the N-branch
+        # lax.switch; only valid for single-block momentum MAD.
+        # Measured trade-off on a v5e at 384x1280 batch 1: the switch
+        # executes only the sampled block's PARTIAL backward per step
+        # (44.6 FPS) while the shared program must run the full masked
+        # backward every step (25.5 FPS) — so the switch is the default;
+        # shared_forward buys a ~5x smaller program / compile time and
+        # is the right shape when batching many cameras per chip.
+        self.shared_forward = (
+            shared_forward
+            and mode == "MAD"
+            and num_blocks == 1
+            and engine.optimizer == "momentum"
+        )
 
         self.state = self._init_state(params, seed)
         self.last_disp = None  # async device array after each step()
@@ -191,7 +209,65 @@ class FusedOnlineSession:
 
             return branch
 
-        branches = [make_block_branch(k) for k in range(n)] if mode == "MAD" else []
+        branches = (
+            [make_block_branch(k) for k in range(n)]
+            if mode == "MAD" and not self.shared_forward
+            else []
+        )
+
+        # leaf -> owning-block-index map (python-int leaves; blocks are
+        # disjoint — asserted in Block construction order by the configs)
+        if self.shared_forward:
+            ids = jax.tree_util.tree_map(lambda _: -1, self.state["params"])
+            for bk, block in enumerate(eng.blocks):
+                sub = jax.tree_util.tree_map(lambda _: bk, block.extract(ids))
+                ids = block.merge(ids, sub)
+            leaf_block_ids = ids
+
+        def train_mad_shared(params, opt, frame, k):
+            """TF's ``minimize(loss_k, var_list=block_k)`` == the block-k
+            restriction of the full gradient of loss_k, so instead of a
+            ``lax.switch`` whose N branches each re-trace forward+backward
+            (N× program size, ~400 extra fusions), run ONE forward, stack
+            the per-block loss candidates, dynamically select with the
+            sampled id, backprop once, and mask the momentum update per
+            leaf by block ownership (Stereo_Online_Adaptation.py:85-118)."""
+            s = eng.reprojection_scale
+            left_s = _scale_tensor(frame["left"], s)
+            inputs = {
+                "left": left_s,
+                "right": _scale_tensor(frame["right"], s),
+                "target": _scale_tensor(frame["target"], s) / s,
+            }
+            if "proxy" in frame:
+                inputs["proxy"] = _scale_tensor(frame["proxy"], s) / s
+
+            def loss_fn(p):
+                out = eng.model.forward(p, frame["left"], frame["right"])
+                cands = []
+                for i in range(n):
+                    d = out["disparities"][i]
+                    mult = float(frame["left"].shape[1] // d.shape[1])
+                    cands.append(resize_to(d, left_s) * mult)
+                stacked = jnp.stack(cands, 0)
+                sel = jax.lax.dynamic_index_in_dim(stacked, k, 0, keepdims=False)
+                return eng._block_base_loss([sel], inputs), out
+
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            acc = jax.tree_util.tree_map(
+                lambda a, g, bid: jnp.where(k == bid, eng.momentum * a + g, a),
+                opt["acc"],
+                grads,
+                leaf_block_ids,
+            )
+            params2 = jax.tree_util.tree_map(
+                lambda p, a, bid: jnp.where(k == bid, p - eng.lr * a, p),
+                params,
+                acc,
+                leaf_block_ids,
+            )
+            loss = eng._full_loss(out["disparities"], frame)
+            return params2, {"acc": acc}, loss, out["full_res_disp"]
 
         def step(state, frame):
             params, opt = state["params"], state["opt"]
@@ -206,6 +282,8 @@ class FusedOnlineSession:
 
                 def do_train(args):
                     params, opt = args
+                    if self.shared_forward:
+                        return train_mad_shared(params, opt, frame, blocks_now[0])
                     if self.num_blocks == 1:
                         return jax.lax.switch(
                             blocks_now[0], branches, params, opt, frame
@@ -225,9 +303,14 @@ class FusedOnlineSession:
                     p, o, loss, disp = train_none(params, opt, frame)
                     return p, o, loss, disp
 
-                params2, opt2, new_loss, disp = jax.lax.cond(
-                    train_now, do_train, no_train, (params, opt)
-                )
+                if self.dilation == 1:
+                    # train_now is identically True — skip the cond so the
+                    # program carries no duplicate forward-only branch
+                    params2, opt2, new_loss, disp = do_train((params, opt))
+                else:
+                    params2, opt2, new_loss, disp = jax.lax.cond(
+                        train_now, do_train, no_train, (params, opt)
+                    )
 
                 # reward bookkeeping (reference :211-224)
                 first = step_i == 0

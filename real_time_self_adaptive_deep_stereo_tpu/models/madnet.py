@@ -183,9 +183,13 @@ class MADNet:
         estimation as separate programs (e.g. on different devices)."""
         li = pad_image(left.astype(jnp.float32), 64)
         ri = pad_image(right.astype(jnp.float32), 64)
+        # siamese pyramid as ONE batched conv stack (B=2B): halves the
+        # conv dispatch count; mathematically identical per sample
+        b = li.shape[0]
+        feats = self._pyramid(params["pyramid"], jnp.concatenate([li, ri], axis=0))
         return {
-            "lfeats": self._pyramid(params["pyramid"], li),
-            "rfeats": self._pyramid(params["pyramid"], ri),
+            "lfeats": [f[:b] for f in feats],
+            "rfeats": [f[b:] for f in feats],
             "orig_hw": (left.shape[1], left.shape[2]),
         }
 

@@ -188,10 +188,14 @@ def test_adaptation_reduces_loss_on_static_scene(madnet_setup):
     assert min(losses[5:]) < losses[0], losses
 
 
-def test_fused_session_matches_host_session(madnet_setup):
+@pytest.mark.parametrize("shared_forward", [False, True])
+def test_fused_session_matches_host_session(madnet_setup, shared_forward):
     """With a deterministic sampler and no resets, the fused on-device
     controller must produce the same loss/metric trajectory as the
-    host-driven session."""
+    host-driven session — for BOTH fused step shapes: the N-branch
+    lax.switch (runtime partial backward; production default) and the
+    shared-forward masked-update program (one backward, leaf-masked
+    momentum update)."""
     from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
         FusedOnlineSession,
     )
@@ -217,6 +221,7 @@ def test_fused_session_matches_host_session(madnet_setup):
         ssim_th=1e9,
         max_steps=8,
         seed=0,
+        shared_forward=shared_forward,
     )
     for f in frames:
         fused.step(f)
