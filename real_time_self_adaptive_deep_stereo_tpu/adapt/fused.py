@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from real_time_self_adaptive_deep_stereo_tpu.adapt.arena import build_arena
 from real_time_self_adaptive_deep_stereo_tpu.adapt.engine import (
     AdaptationEngine,
     _scale_tensor,
@@ -73,6 +74,7 @@ class FusedOnlineSession:
         mesh=None,
         spatial_axis: str = "data",
         shared_forward: bool = False,
+        arena: bool = True,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -105,6 +107,12 @@ class FusedOnlineSession:
         # backward every step (25.5 FPS) — so the switch is the default;
         # shared_forward buys a ~5x smaller program / compile time and
         # is the right shape when batching many cameras per chip.
+        #
+        # ``arena=True`` packs params / pristine params / optimizer state
+        # each into ONE contiguous vector (adapt/arena.py): profiling
+        # showed ~440 tiny per-leaf `copy` kernels per step (~10 ms of
+        # pure launch overhead) moving the ~540 leaves through the
+        # switch/state boundary.
         self.shared_forward = (
             shared_forward
             and mode == "MAD"
@@ -112,19 +120,40 @@ class FusedOnlineSession:
             and engine.optimizer == "momentum"
         )
 
+        self.spec = build_arena(params, engine.blocks) if arena else None
         self.state = self._init_state(params, seed)
         self.last_disp = None  # async device array after each step()
         self._step_fn = self._build_step()
+        self._unravel_fn = jax.jit(self.spec.unravel) if arena else None
 
     # ------------------------------------------------------------------ state
     def _init_state(self, params, seed: int) -> Dict:
         eng = self.engine
         n = self.n_actions
         buf = lambda: jnp.zeros((self.max_steps,), jnp.float32)  # noqa: E731
+        if self.spec is not None:
+            flat = jax.jit(self.spec.ravel)(params)
+            params = flat
+            if self.mode == "NONE":
+                opt = {}
+            elif eng.optimizer == "momentum":
+                opt = {"acc": jnp.zeros_like(flat)}
+            else:  # adam (per-block step counters, engine._apply_update)
+                opt = {
+                    "m": jnp.zeros_like(flat),
+                    "v": jnp.zeros_like(flat),
+                    "t": jnp.zeros((max(1, n),), jnp.int32),
+                }
+        else:
+            opt = eng.init_opt(params) if self.mode != "NONE" else {}
+        # pristine weights for the reset safeguard: a CLOSURE constant of
+        # the jitted step, NOT carried state — carrying it through the
+        # donated state pytree forced a passthrough copy of every leaf
+        # every frame (~178 small copy kernels)
+        self._params0 = jax.tree_util.tree_map(lambda x: x.copy(), params)
         state = {
             "params": params,
-            "params0": jax.tree_util.tree_map(lambda x: x.copy(), params),
-            "opt": eng.init_opt(params) if self.mode != "NONE" else {},
+            "opt": opt,
             "scores": jnp.zeros((n,), jnp.float32),
             "loss_t1": jnp.zeros((), jnp.float32),
             "loss_t2": jnp.zeros((), jnp.float32),
@@ -173,9 +202,28 @@ class FusedOnlineSession:
         eng = self.engine
         mode = self.mode
         n = self.n_actions
+        spec = self.spec
+
+        def as_tree(params):
+            """Pytree view of the params (identity in legacy mode)."""
+            return spec.unravel(params) if spec is not None else params
+
+        def vec_update(bp, opt_sl, g, k):
+            """Optimizer update on arena vectors (numerics identical to
+            engine._apply_update; TF MomentumOptimizer / AdamOptimizer)."""
+            if eng.optimizer == "momentum":
+                acc2 = eng.momentum * opt_sl["acc"] + g
+                return bp - eng.lr * acc2, {"acc": acc2}
+            t = opt_sl["t"][k] + 1
+            m = 0.9 * opt_sl["m"] + 0.1 * g
+            v = 0.999 * opt_sl["v"] + 0.001 * g * g
+            tf_ = t.astype(jnp.float32)
+            lr_t = eng.lr * jnp.sqrt(1.0 - 0.999**tf_) / (1.0 - 0.9**tf_)
+            bp2 = bp - lr_t * m / (jnp.sqrt(v) + 1e-8)
+            return bp2, {"m": m, "v": v, "t": opt_sl["t"].at[k].set(t)}
 
         def train_none(params, opt, frame):
-            out = eng.model.forward(params, frame["left"], frame["right"])
+            out = eng.model.forward(as_tree(params), frame["left"], frame["right"])
             loss = eng._full_loss(out["disparities"], frame)
             return params, opt, loss, out["full_res_disp"]
 
@@ -184,8 +232,13 @@ class FusedOnlineSession:
                 out = eng.model.forward(p, frame["left"], frame["right"])
                 return eng._full_loss(out["disparities"], frame), out
 
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params2, opt2 = eng._apply_update(params, opt, grads, 0)
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                as_tree(params)
+            )
+            if spec is not None:
+                params2, opt2 = vec_update(params, opt, spec.ravel(grads), 0)
+            else:
+                params2, opt2 = eng._apply_update(params, opt, grads, 0)
             return params2, opt2, loss, out["full_res_disp"]
 
         def make_block_branch(k):
@@ -209,20 +262,62 @@ class FusedOnlineSession:
 
             return branch
 
+        def make_block_branch_arena(k):
+            """Branch k on the flat arena: differentiate w.r.t. block k's
+            contiguous slice only (leaves outside the block are captured
+            constants in unravel_override → same partial backward as
+            ``minimize(loss_k, var_list=block_k)``), then update that
+            slice in place with ONE fused vector op."""
+
+            def branch(params, opt, frame):
+                bp = spec.block_slice(params, k)
+
+                def loss_fn(bp_):
+                    p = spec.unravel_override(params, bp_, k)
+                    out = eng.model.forward(p, frame["left"], frame["right"])
+                    return eng._block_loss(out["disparities"], k, frame), out
+
+                (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(bp)
+                opt_sl = {
+                    key: (tree if key == "t" else spec.block_slice(tree, k))
+                    for key, tree in opt.items()
+                }
+                bp2, opt_sl2 = vec_update(bp, opt_sl, g, k)
+                params2 = spec.block_update(params, bp2, k)
+                opt2 = {
+                    key: (
+                        opt_sl2[key]
+                        if key == "t"
+                        else spec.block_update(opt[key], opt_sl2[key], k)
+                    )
+                    for key in opt
+                }
+                loss = eng._full_loss(out["disparities"], frame)
+                return params2, opt2, loss, out["full_res_disp"]
+
+            return branch
+
+        mk_branch = make_block_branch_arena if spec is not None else make_block_branch
         branches = (
-            [make_block_branch(k) for k in range(n)]
+            [mk_branch(k) for k in range(n)]
             if mode == "MAD" and not self.shared_forward
             else []
         )
 
-        # leaf -> owning-block-index map (python-int leaves; blocks are
-        # disjoint — asserted in Block construction order by the configs)
+        # leaf -> owning-block-index map (python-int leaves — or one int32
+        # vector over the arena; blocks are disjoint)
         if self.shared_forward:
-            ids = jax.tree_util.tree_map(lambda _: -1, self.state["params"])
-            for bk, block in enumerate(eng.blocks):
-                sub = jax.tree_util.tree_map(lambda _: bk, block.extract(ids))
-                ids = block.merge(ids, sub)
-            leaf_block_ids = ids
+            if spec is not None:
+                bid = np.full((spec.size,), -1, np.int32)
+                for bk, (s, e) in enumerate(spec.block_ranges):
+                    bid[s:e] = bk
+                leaf_block_ids = jnp.asarray(bid)
+            else:
+                ids = jax.tree_util.tree_map(lambda _: -1, self.state["params"])
+                for bk, block in enumerate(eng.blocks):
+                    sub = jax.tree_util.tree_map(lambda _: bk, block.extract(ids))
+                    ids = block.merge(ids, sub)
+                leaf_block_ids = ids
 
         def train_mad_shared(params, opt, frame, k):
             """TF's ``minimize(loss_k, var_list=block_k)`` == the block-k
@@ -253,19 +348,27 @@ class FusedOnlineSession:
                 sel = jax.lax.dynamic_index_in_dim(stacked, k, 0, keepdims=False)
                 return eng._block_base_loss([sel], inputs), out
 
-            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            acc = jax.tree_util.tree_map(
-                lambda a, g, bid: jnp.where(k == bid, eng.momentum * a + g, a),
-                opt["acc"],
-                grads,
-                leaf_block_ids,
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                as_tree(params)
             )
-            params2 = jax.tree_util.tree_map(
-                lambda p, a, bid: jnp.where(k == bid, p - eng.lr * a, p),
-                params,
-                acc,
-                leaf_block_ids,
-            )
+            if spec is not None:
+                g = spec.ravel(grads)
+                m = leaf_block_ids == k
+                acc = jnp.where(m, eng.momentum * opt["acc"] + g, opt["acc"])
+                params2 = jnp.where(m, params - eng.lr * acc, params)
+            else:
+                acc = jax.tree_util.tree_map(
+                    lambda a, g, bid: jnp.where(k == bid, eng.momentum * a + g, a),
+                    opt["acc"],
+                    grads,
+                    leaf_block_ids,
+                )
+                params2 = jax.tree_util.tree_map(
+                    lambda p, a, bid: jnp.where(k == bid, p - eng.lr * a, p),
+                    params,
+                    acc,
+                    leaf_block_ids,
+                )
             loss = eng._full_loss(out["disparities"], frame)
             return params2, {"acc": acc}, loss, out["full_res_disp"]
 
@@ -348,7 +451,7 @@ class FusedOnlineSession:
             if mode != "NONE":
                 do_reset = new_loss > self.ssim_th
                 params2 = jax.tree_util.tree_map(
-                    lambda p, p0: jnp.where(do_reset, p0, p), params2, state["params0"]
+                    lambda p, p0: jnp.where(do_reset, p0, p), params2, self._params0
                 )
                 reset_count = state["reset_count"] + do_reset.astype(jnp.int32)
             else:
@@ -418,6 +521,13 @@ class FusedOnlineSession:
             host[k] = host[k][:nsteps]
         host["steps"] = nsteps
         return host
+
+    def current_params(self):
+        """The adapted params as a pytree (device arrays) — unravels the
+        arena view when arena mode is on. Use for checkpointing or for
+        handing weights to a host session/engine."""
+        p = self.state["params"]
+        return self._unravel_fn(p) if self.spec is not None else p
 
     def block_until_ready(self) -> None:
         """True synchronization: fetches the step counter. (A plain

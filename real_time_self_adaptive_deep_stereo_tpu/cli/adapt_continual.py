@@ -158,7 +158,7 @@ def main(args) -> dict:
         with open(hist_path, "a") as f:
             f.write(f"{stats.fetch_counter}\n")
         session = fsession  # for saveWeights below
-        session.params = fsession.state["params"]
+        session.params = fsession.current_params()
     else:
         session = OnlineAdaptationSession(
             engine,

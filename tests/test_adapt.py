@@ -285,7 +285,7 @@ def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):
     np.testing.assert_allclose(stats["scores"], host.scores, rtol=1e-3, atol=1e-5)
     # final weights agree too
     np.testing.assert_allclose(
-        np.asarray(fused.state["params"]["pyramid"]["conv1"]["w"]),
+        np.asarray(fused.current_params()["pyramid"]["conv1"]["w"]),
         np.asarray(host.params["pyramid"]["conv1"]["w"]),
         rtol=1e-4,
         atol=1e-6,

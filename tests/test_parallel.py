@@ -143,7 +143,7 @@ def test_mad_fused_step_under_mesh_matches_single_device(model_and_params):
         sh = width_sharded(mesh)
         for f in frames:
             sess.step(shard_batch(f, sh))
-        return sess.finalize(), sess.state["params"]
+        return sess.finalize(), sess.current_params()
 
     host_multi, p_multi = run(make_mesh(8))
     host_single, p_single = run(make_mesh(1))

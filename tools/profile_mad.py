@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--shared", action="store_true")
+    ap.add_argument("--no-arena", action="store_true")
     ap.add_argument("--mode", default="MAD", choices=["NONE", "FULL", "MAD"])
     ap.add_argument("--logdir", default="/tmp/mad_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -69,7 +70,7 @@ def main():
     session = FusedOnlineSession(
         engine, params, mode=args.mode, sample_mode="PROBABILITY",
         ssim_th=1e9, max_steps=args.steps + 40, seed=0,
-        shared_forward=args.shared,
+        shared_forward=args.shared, arena=not args.no_arena,
     )
 
     rng = np.random.default_rng(0)
@@ -95,7 +96,8 @@ def main():
     dt = time.perf_counter() - t0
 
     print(f"\n{args.steps} steps in {dt*1e3:.1f} ms -> {dt/args.steps*1e3:.2f} ms/step "
-          f"({args.steps/dt:.1f} FPS)  mode={args.mode} shared={args.shared}")
+          f"({args.steps/dt:.1f} FPS)  mode={args.mode} shared={args.shared} "
+          f"arena={not args.no_arena}")
     print(f"{'op family':<48}{'count':>8}{'total ms':>12}{'ms/step':>10}")
     for name, count, ms in summarize_trace(args.logdir, top=args.top):
         print(f"{name:<48}{count:>8}{ms:>12.2f}{ms/args.steps:>10.3f}")
