@@ -151,6 +151,9 @@ class FusedOnlineSession:
         # donated state pytree forced a passthrough copy of every leaf
         # every frame (~178 small copy kernels)
         self._params0 = jax.tree_util.tree_map(lambda x: x.copy(), params)
+        # per-frame metrics ride in ONE [max_steps, 4] ring buffer
+        # (epe, bad3, d1, loss): four separate buffers cost four
+        # dynamic-update-slice kernels (~130 us fixed cost each) per frame
         state = {
             "params": params,
             "opt": opt,
@@ -163,10 +166,7 @@ class FusedOnlineSession:
             "reset_count": jnp.zeros((), jnp.int32),
             "fetch_counter": jnp.zeros((n,), jnp.int32),
             "cur_blocks": jnp.zeros((self.num_blocks,), jnp.int32),
-            "epe": buf(),
-            "bad3": buf(),
-            "d1": buf(),
-            "loss": buf(),
+            "metrics": jnp.zeros((self.max_steps, 4), jnp.float32),
         }
         return state
 
@@ -468,10 +468,9 @@ class FusedOnlineSession:
                 "key": key,
                 "step": step_i + 1,
                 "reset_count": reset_count,
-                "epe": state["epe"].at[i].set(epe),
-                "bad3": state["bad3"].at[i].set(bad3),
-                "d1": state["d1"].at[i].set(d1),
-                "loss": state["loss"].at[i].set(new_loss),
+                "metrics": state["metrics"].at[i].set(
+                    jnp.stack([epe, bad3, d1, new_loss])
+                ),
             }
             return new_state, disp
 
@@ -508,17 +507,15 @@ class FusedOnlineSession:
         nsteps = int(jax.device_get(s["step"]))
         host = jax.device_get(
             {
-                "epe": s["epe"],
-                "bad3": s["bad3"],
-                "d1": s["d1"],
-                "loss": s["loss"],
+                "metrics": s["metrics"],
                 "scores": s["scores"],
                 "fetch_counter": s["fetch_counter"],
                 "reset_count": s["reset_count"],
             }
         )
-        for k in ("epe", "bad3", "d1", "loss"):
-            host[k] = host[k][:nsteps]
+        m = host.pop("metrics")[:nsteps]
+        for j, k in enumerate(("epe", "bad3", "d1", "loss")):
+            host[k] = m[:, j]
         host["steps"] = nsteps
         return host
 

@@ -69,16 +69,32 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 # Global conv precision. HIGHEST gives fp32-exact results (needed for
 # bit-parity with the TF1 reference); on TPU, set to DEFAULT to run the
-# MXU in fast bf16x3/bf16 mode via set_conv_precision().
+# MXU in fast bf16x3/bf16 mode via set_conv_precision(). 'bf16'
+# additionally stores/loads the conv OPERANDS in bfloat16 (halved HBM
+# traffic — batch-1 convs here are bandwidth-bound, not MXU-bound) while
+# accumulating in fp32 via preferred_element_type.
 _CONV_PRECISION = jax.lax.Precision.HIGHEST
+_CONV_BF16 = False
 
 
 def set_conv_precision(p) -> None:
-    """Set global conv precision ('highest' | 'default' | Precision)."""
-    global _CONV_PRECISION
+    """Set global conv precision ('highest' | 'default' | 'bf16' | Precision)."""
+    global _CONV_PRECISION, _CONV_BF16
+    _CONV_BF16 = False
     if isinstance(p, str):
+        if p == "bf16":
+            _CONV_BF16 = True
+            _CONV_PRECISION = jax.lax.Precision.DEFAULT
+            return
         p = {"highest": jax.lax.Precision.HIGHEST, "default": jax.lax.Precision.DEFAULT}[p]
     _CONV_PRECISION = p
+
+
+def _operands(x: jnp.ndarray, w: jnp.ndarray):
+    """Conv operand dtype policy (bf16 fast mode vs dtype-following)."""
+    if _CONV_BF16:
+        return x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    return x, w.astype(x.dtype)
 
 
 def conv2d(
@@ -88,13 +104,15 @@ def conv2d(
     activation: Callable = leaky_relu(0.1),
     padding: str = "SAME",
 ) -> jnp.ndarray:
+    xx, ww = _operands(x, params["w"])
     y = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
+        xx,
+        ww,
         window_strides=(strides, strides),
         padding=padding,
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
+        preferred_element_type=x.dtype,
     )
     return activation(y + params["b"].astype(x.dtype))
 
@@ -106,14 +124,16 @@ def dilated_conv2d(
     activation: Callable = leaky_relu(0.1),
     padding: str = "SAME",
 ) -> jnp.ndarray:
+    xx, ww = _operands(x, params["w"])
     y = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
+        xx,
+        ww,
         window_strides=(1, 1),
         padding=padding,
         rhs_dilation=(rate, rate),
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
+        preferred_element_type=x.dtype,
     )
     return activation(y + params["b"].astype(x.dtype))
 
@@ -136,9 +156,10 @@ def conv2d_transpose(
     padw = ((kw - 1) // 2, kw - 1 - (kw - 1) // 2)
     # transpose conv = conv with lhs_dilation, spatially-flipped kernel, IO swap
     w = params["w"].transpose(0, 1, 3, 2)[::-1, ::-1]  # -> HWIO with flip
+    xx, w = _operands(x, w)
     y = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
+        xx,
+        w,
         window_strides=(1, 1),
         padding=(
             (kh - 1 - pad[0], kh - 1 - pad[1] + (strides - 1)),
@@ -147,6 +168,7 @@ def conv2d_transpose(
         lhs_dilation=(strides, strides),
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
+        preferred_element_type=x.dtype,
     )
     return activation(y + params["b"].astype(x.dtype))
 
@@ -161,14 +183,16 @@ def depthwise_conv(
     """Depthwise conv; kernel ``[kh, kw, in_c, mult]`` (TF layout)."""
     kh, kw, c_in, mult = params["w"].shape
     w = params["w"].reshape(kh, kw, 1, c_in * mult)
+    xx, w = _operands(x, w)
     y = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
+        xx,
+        w,
         window_strides=(strides, strides),
         padding=padding,
         dimension_numbers=_DN,
         feature_group_count=c_in,
         precision=_CONV_PRECISION,
+        preferred_element_type=x.dtype,
     )
     return activation(y + params["b"].astype(x.dtype))
 
@@ -203,14 +227,16 @@ def grouped_conv2d(
     padding: str = "SAME",
 ) -> jnp.ndarray:
     """Grouped conv; kernel ``[kh, kw, in_c/groups, out_c]`` (TF layout)."""
+    xx, ww = _operands(x, params["w"])
     y = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
+        xx,
+        ww,
         window_strides=(strides, strides),
         padding=padding,
         dimension_numbers=_DN,
         feature_group_count=num_groups,
         precision=_CONV_PRECISION,
+        preferred_element_type=x.dtype,
     )
     return activation(y + params["b"].astype(x.dtype))
 

@@ -11,6 +11,9 @@ Replaces reference ``Data_utils/weights_utils.py`` (TF1 Saver machinery):
   variable names into our pytrees via each model's ``tf_name_map`` —
   with the same mask / prefix / ignore_list renaming hooks as
   ``get_var_to_restore_list`` (weights_utils.py:4-38).
+* Orbax backend (``save_params_orbax`` / ``load_params_orbax``): the
+  scale-out format for very large runs — async-capable, sharding-aware
+  (restores device arrays directly), directory-per-checkpoint.
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ __all__ = [
     "save_step_checkpoint",
     "restore_or_init",
     "tf1_checkpoint_to_params",
+    "save_params_orbax",
+    "load_params_orbax",
 ]
 
 Tree = Any
@@ -125,6 +130,27 @@ def restore_or_init(
             restored, n = tf1_checkpoint_to_params(initial_weights, model, params)
             return restored, n > 0, 0
     return params, False, 0
+
+
+# ------------------------------------------------------------- orbax backend
+
+
+def save_params_orbax(path: str, params: Tree) -> None:
+    """Save a param pytree as an orbax checkpoint directory.
+
+    Same tree in/out as :func:`save_params`; use for multi-host /
+    sharded runs where npz (host-gathered, single-file) doesn't scale.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(path: str) -> Tree:
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
 # ------------------------------------------------------------- TF1 import

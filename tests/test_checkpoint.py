@@ -128,3 +128,27 @@ def test_tf1_import_respects_mask_and_ignore(tmp_path):
         ckpt, model, params, mask=["conv1"], ignore_list=["prefix/"]
     )
     assert n2 == 0
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Orbax backend round-trips the same pytrees as the npz format
+    (scale-out checkpointing for sharded runs, docs/ROADMAP.md item 7)."""
+    orbax = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
+        load_params_orbax,
+        save_params_orbax,
+    )
+
+    params = {
+        "pyramid": {"conv1": {"w": np.arange(12, dtype=np.float32).reshape(3, 4),
+                              "b": np.zeros(4, np.float32)}},
+        "context": {"c1": {"w": np.ones((2, 2), np.float32)}},
+    }
+    path = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(path, params)
+    back = load_params_orbax(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        back,
+    )

@@ -315,3 +315,33 @@ def test_warp_mxu_interpret_grads_match_gather():
     )(feats, dx)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------ conv precision
+
+
+def test_conv_bf16_mode_close_to_f32_and_restores():
+    """set_conv_precision('bf16') stores conv operands in bfloat16 with
+    fp32 accumulation: outputs must stay fp32 and track the fp32 conv to
+    bf16 mantissa precision (the fast serving mode on TPU; accuracy
+    drift is quantified end-to-end in PARITY_RESULTS.md)."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.conv import (
+        conv2d,
+        init_conv,
+        set_conv_precision,
+    )
+
+    params = init_conv(jax.random.PRNGKey(0), (3, 3, 8, 16))
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 8)), jnp.float32)
+    want = conv2d(params, x)
+    try:
+        set_conv_precision("bf16")
+        got = conv2d(params, x)
+    finally:
+        set_conv_precision("highest")
+    assert got.dtype == jnp.float32
+    denom = np.maximum(np.abs(np.asarray(want)), 1.0)
+    assert float((np.abs(np.asarray(got - want)) / denom).max()) < 0.03
+    # and the global must be restored for the rest of the suite
+    again = conv2d(params, x)
+    np.testing.assert_allclose(np.asarray(again), np.asarray(want), rtol=0, atol=0)

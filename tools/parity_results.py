@@ -104,10 +104,12 @@ def run_reference_loop(mode, seq, params_np, name_map, lr=1e-4, ssim_th=0.5):
     return np.asarray(rows), resets
 
 
-def run_our_loop(mode, seq, params_np, lr=1e-4, ssim_th=0.5, fast=False):
+def run_our_loop(mode, seq, params_np, lr=1e-4, ssim_th=0.5, fast=False,
+                 precision="default"):
     """Our session on the same frames. fast=False reproduces the exact
     numerics (gather warps, HIGHEST conv precision); fast=True uses the
-    TPU production path (auto warps, default precision)."""
+    TPU production path (auto warps, ``precision`` conv mode — 'default'
+    for bf16 multiplies / fp32 operands, 'bf16' for bf16 operands)."""
     import jax
     import jax.numpy as jnp
 
@@ -121,7 +123,7 @@ def run_our_loop(mode, seq, params_np, lr=1e-4, ssim_th=0.5, fast=False):
     from real_time_self_adaptive_deep_stereo_tpu.ops.conv import set_conv_precision
 
     wm = "auto" if fast else "gather"
-    set_conv_precision("default" if fast else "highest")
+    set_conv_precision(precision if fast else "highest")
     try:
         model = get_stereo_net(
             "MADNet", bulkhead=(mode == "MAD"), warp_mode=wm,
@@ -215,14 +217,16 @@ def main_drift(args):
     ]
     for mode in ("NONE", "MAD", "FULL"):
         exact, r1 = run_our_loop(mode, seq, params_np, fast=False)
-        fast, r2 = run_our_loop(mode, seq, params_np, fast=True)
         lines.append(fmt_row(f"exact {mode}", exact, r1))
-        lines.append(fmt_row(f"fast {mode}", fast, r2))
-        d = fast.mean(axis=0) - exact.mean(axis=0)
-        lines.append(
-            f"| drift {mode} | {d[0]:+.4f} | {100*d[1]:+.3f}% | {d[2]:+.3f}% | |"
-        )
-        print(f"mode={mode}: EPE drift {d[0]:+.4f}, D1 drift {d[2]:+.3f}%", flush=True)
+        for prec in ("default", "bf16"):
+            fast, r2 = run_our_loop(mode, seq, params_np, fast=True, precision=prec)
+            lines.append(fmt_row(f"fast/{prec} {mode}", fast, r2))
+            d = fast.mean(axis=0) - exact.mean(axis=0)
+            lines.append(
+                f"| drift/{prec} {mode} | {d[0]:+.4f} | {100*d[1]:+.3f}% | {d[2]:+.3f}% | |"
+            )
+            print(f"mode={mode} prec={prec}: EPE drift {d[0]:+.4f}, D1 drift {d[2]:+.3f}%",
+                  flush=True)
     return "\n".join(lines)
 
 
