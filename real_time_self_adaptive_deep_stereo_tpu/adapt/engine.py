@@ -47,9 +47,16 @@ __all__ = ["AdaptationEngine", "PIXEL_TH"]
 PIXEL_TH = 3.0  # bad-pixel threshold (Stereo_Online_Adaptation.py:20)
 
 
+def _squeeze_c1(x: jnp.ndarray) -> jnp.ndarray:
+    """Drop a trailing singleton channel: metric math on [B,H,W] keeps W
+    in the TPU lane dim (a [B,H,W,1] layout wastes 127/128 lanes)."""
+    return x[..., 0] if x.ndim == 4 and x.shape[-1] == 1 else x
+
+
 def disparity_metrics(full_disp: jnp.ndarray, gt: jnp.ndarray):
     """EPE and bad3 with the reference masks (Stereo_Online_Adaptation.py:74-82):
     valid where gt != 0; bad3 = fraction of valid pixels with error > 3."""
+    full_disp, gt = _squeeze_c1(full_disp), _squeeze_c1(gt)
     valid = jnp.where(gt == 0, 0.0, 1.0)
     err = jnp.abs(full_disp - gt) * valid
     denom = jnp.sum(valid)
@@ -61,6 +68,7 @@ def disparity_metrics(full_disp: jnp.ndarray, gt: jnp.ndarray):
 def d1_metric(full_disp: jnp.ndarray, gt: jnp.ndarray):
     """KITTI D1: % of valid pixels with error > 3px AND > 5% of gt
     (Stereo_Continual_Adaptation.py:244-249)."""
+    full_disp, gt = _squeeze_c1(full_disp), _squeeze_c1(gt)
     valid = gt > 0
     err = jnp.abs(full_disp - gt)
     out = valid & (err > 3.0) & (err / jnp.maximum(gt, 1e-9) >= 0.05)

@@ -71,8 +71,12 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # bit-parity with the TF1 reference); on TPU, set to DEFAULT to run the
 # MXU in fast bf16x3/bf16 mode via set_conv_precision(). 'bf16'
 # additionally stores/loads the conv OPERANDS in bfloat16 (halved HBM
-# traffic — batch-1 convs here are bandwidth-bound, not MXU-bound) while
-# accumulating in fp32 via preferred_element_type.
+# traffic — batch-1 convs here are bandwidth-bound, not MXU-bound); the
+# MXU still accumulates in fp32 internally, only the conv output rounds
+# through bf16 before the fp32 bias+activation epilogue. (The output
+# cast — rather than preferred_element_type=f32 — keeps the conv VJP
+# dtypes consistent: an f32 cotangent against bf16 weights is rejected
+# by lax.)
 _CONV_PRECISION = jax.lax.Precision.HIGHEST
 _CONV_BF16 = False
 
@@ -112,9 +116,8 @@ def conv2d(
         padding=padding,
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
-        preferred_element_type=x.dtype,
     )
-    return activation(y + params["b"].astype(x.dtype))
+    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
 
 
 def dilated_conv2d(
@@ -133,9 +136,8 @@ def dilated_conv2d(
         rhs_dilation=(rate, rate),
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
-        preferred_element_type=x.dtype,
     )
-    return activation(y + params["b"].astype(x.dtype))
+    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
 
 
 def conv2d_transpose(
@@ -168,9 +170,8 @@ def conv2d_transpose(
         lhs_dilation=(strides, strides),
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
-        preferred_element_type=x.dtype,
     )
-    return activation(y + params["b"].astype(x.dtype))
+    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
 
 
 def depthwise_conv(
@@ -192,9 +193,8 @@ def depthwise_conv(
         dimension_numbers=_DN,
         feature_group_count=c_in,
         precision=_CONV_PRECISION,
-        preferred_element_type=x.dtype,
     )
-    return activation(y + params["b"].astype(x.dtype))
+    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
 
 
 def separable_conv2d(
@@ -236,9 +236,8 @@ def grouped_conv2d(
         dimension_numbers=_DN,
         feature_group_count=num_groups,
         precision=_CONV_PRECISION,
-        preferred_element_type=x.dtype,
     )
-    return activation(y + params["b"].astype(x.dtype))
+    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
 
 
 def channel_shuffle_inside_group(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:

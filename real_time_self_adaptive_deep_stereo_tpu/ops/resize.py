@@ -72,7 +72,14 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         x = jnp.einsum("oh,bhwc->bowc", mh, x, precision="highest")
     if w != out_w:
         mw = jnp.asarray(_interp_matrix(w, out_w))
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x, precision="highest")
+        if c == 1:
+            # contract as [b*h, w] @ [w, out_w] (N = out_w on the MXU);
+            # the einsum below would make N = c = 1 — a matvec per row.
+            # [b,h,1,out_w] -> [b,h,out_w,1] is a free reshape at c == 1.
+            x = jnp.einsum("bhwc,wo->bhco", x, mw.T, precision="highest")
+            x = x.reshape(b, x.shape[1], out_w, 1)
+        else:
+            x = jnp.einsum("ow,bhwc->bhoc", mw, x, precision="highest")
     return x.astype(dt)
 
 
