@@ -75,6 +75,7 @@ class FusedOnlineSession:
         spatial_axis: str = "data",
         shared_forward: bool = False,
         arena: bool = True,
+        num_streams: int = 0,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -113,6 +114,27 @@ class FusedOnlineSession:
         # showed ~440 tiny per-leaf `copy` kernels per step (~10 ms of
         # pure launch overhead) moving the ~540 leaves through the
         # switch/state boundary.
+        # ``num_streams=N`` turns the session into N INDEPENDENT
+        # adaptation streams (e.g. one per camera of a rig) sharing one
+        # chip and ONE dispatch per frame-batch: the per-stream step is
+        # jax.vmap-ed, so each stream carries its own params / optimizer
+        # / controller state while the convs run batched on the MXU
+        # (batch-1 streams leave the systolic array nearly idle).
+        # Net-new vs the single-GPU single-stream reference. MAD under
+        # vmap requires the shared-forward step: a vmapped lax.switch
+        # with per-stream indices would execute every branch and select,
+        # while the masked-update program vmaps cleanly.
+        self.num_streams = int(num_streams)
+        if self.num_streams:
+            if not arena:
+                raise ValueError("num_streams requires arena=True")
+            if mode == "MAD":
+                if num_blocks != 1 or engine.optimizer != "momentum":
+                    raise ValueError(
+                        "num_streams MAD requires num_blocks=1 + momentum "
+                        "(the shared-forward step)"
+                    )
+                shared_forward = True
         self.shared_forward = (
             shared_forward
             and mode == "MAD"
@@ -124,7 +146,13 @@ class FusedOnlineSession:
         self.state = self._init_state(params, seed)
         self.last_disp = None  # async device array after each step()
         self._step_fn = self._build_step()
-        self._unravel_fn = jax.jit(self.spec.unravel) if arena else None
+        if arena:
+            unravel = (
+                jax.vmap(self.spec.unravel) if self.num_streams else self.spec.unravel
+            )
+            self._unravel_fn = jax.jit(unravel)
+        else:
+            self._unravel_fn = None
 
     # ------------------------------------------------------------------ state
     def _init_state(self, params, seed: int) -> Dict:
@@ -161,13 +189,28 @@ class FusedOnlineSession:
             "loss_t1": jnp.zeros((), jnp.float32),
             "loss_t2": jnp.zeros((), jnp.float32),
             "last_mask": jnp.zeros((n,), jnp.float32),
-            "key": jax.random.PRNGKey(seed),
+            "key": jax.random.PRNGKey(
+                seed if isinstance(seed, int) else 0
+            ),
             "step": jnp.zeros((), jnp.int32),
             "reset_count": jnp.zeros((), jnp.int32),
             "fetch_counter": jnp.zeros((n,), jnp.int32),
             "cur_blocks": jnp.zeros((self.num_blocks,), jnp.int32),
             "metrics": jnp.zeros((self.max_steps, 4), jnp.float32),
         }
+        if self.num_streams:
+            ns = self.num_streams
+            seeds = (
+                list(seed)
+                if isinstance(seed, (list, tuple))
+                else [seed + i for i in range(ns)]
+            )
+            if len(seeds) != ns:
+                raise ValueError(f"need {ns} seeds, got {len(seeds)}")
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (ns,) + x.shape).copy(), state
+            )
+            state["key"] = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
         return state
 
     # ---------------------------------------------------------------- sampler
@@ -474,6 +517,23 @@ class FusedOnlineSession:
             }
             return new_state, disp
 
+        if self.num_streams:
+            # N independent streams in one program: per-stream state and
+            # frames carry a leading stream axis; params0 (closure
+            # constant) broadcasts. Streams can also be sharded over a
+            # mesh (stream-parallel serving: whole streams per device).
+            vstep = jax.vmap(step)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ssh = NamedSharding(self.mesh, P(self.spatial_axis))
+                return jax.jit(
+                    vstep,
+                    in_shardings=(ssh, ssh),
+                    out_shardings=(ssh, ssh),
+                    donate_argnums=(0,),
+                )
+            return jax.jit(vstep, donate_argnums=(0,))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -502,9 +562,12 @@ class FusedOnlineSession:
         self.state, self.last_disp = self._step_fn(self.state, frame)
 
     def finalize(self) -> Dict[str, np.ndarray]:
-        """Block + transfer the accumulated statistics (one sync)."""
+        """Block + transfer the accumulated statistics (one sync).
+
+        Multi-stream sessions return arrays with a leading [num_streams]
+        axis (every stream has taken the same number of steps)."""
         s = self.state
-        nsteps = int(jax.device_get(s["step"]))
+        nsteps = int(np.max(jax.device_get(s["step"])))
         host = jax.device_get(
             {
                 "metrics": s["metrics"],
@@ -513,9 +576,9 @@ class FusedOnlineSession:
                 "reset_count": s["reset_count"],
             }
         )
-        m = host.pop("metrics")[:nsteps]
+        m = host.pop("metrics")[..., :nsteps, :]
         for j, k in enumerate(("epe", "bad3", "d1", "loss")):
-            host[k] = m[:, j]
+            host[k] = m[..., j]
         host["steps"] = nsteps
         return host
 

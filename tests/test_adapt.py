@@ -330,3 +330,57 @@ def test_split_forward_matches_whole_forward(name):
         np.asarray(whole["full_res_disp"]), np.asarray(staged["full_res_disp"])
     )
     assert len(whole["disparities"]) == len(staged["disparities"])
+
+
+def test_multistream_session_matches_single(madnet_setup):
+    """num_streams=N vmaps the shared-forward MAD step: each stream is an
+    independent adaptation (own params/opt/scores/PRNG). With identical
+    seeds and frames every stream must reproduce the single-stream
+    trajectory exactly."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(3)]
+
+    single = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="PROBABILITY",
+        ssim_th=1e9,
+        max_steps=8,
+        seed=0,
+        shared_forward=True,
+    )
+    for f in frames:
+        single.step(f)
+    ref = single.finalize()
+
+    multi = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="PROBABILITY",
+        ssim_th=1e9,
+        max_steps=8,
+        seed=[0, 0],
+        num_streams=2,
+    )
+    for f in frames:
+        multi.step(jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), f))
+    got = multi.finalize()
+
+    assert got["loss"].shape == (2, 3)
+    for s in range(2):
+        np.testing.assert_allclose(got["loss"][s], ref["loss"], rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(got["epe"][s], ref["epe"], rtol=2e-5, atol=1e-6)
+        np.testing.assert_array_equal(got["fetch_counter"][s], ref["fetch_counter"])
+    p = multi.current_params()
+    np.testing.assert_allclose(
+        np.asarray(p["pyramid"]["conv1"]["w"][0]),
+        np.asarray(single.current_params()["pyramid"]["conv1"]["w"]),
+        rtol=2e-5,
+        atol=1e-7,
+    )
