@@ -162,6 +162,10 @@ def main() -> None:
         load_block_config("block_config/MadNet_full.json"), model.layer_to_path
     )
     engine = AdaptationEngine(model, blocks, lr=1e-4)
+    # BENCH_STREAMS=N benches the multi-stream serving mode (N cameras
+    # adapting independently per dispatch, vmap-ed shared-forward step);
+    # the headline metric stays the single-stream lax.switch step.
+    streams = int(os.environ.get("BENCH_STREAMS", "0"))
     session = FusedOnlineSession(
         engine,
         params,
@@ -170,7 +174,8 @@ def main() -> None:
         ssim_th=1e9,  # never reset during the bench
         max_steps=WARMUP + PASSES * ITERS + 8,
         seed=0,
-        shared_forward=os.environ.get("BENCH_SHARED", "1") != "0",
+        shared_forward=os.environ.get("BENCH_SHARED", "0") != "0",
+        num_streams=streams,
     )
 
     rng = np.random.default_rng(0)
@@ -185,6 +190,11 @@ def main() -> None:
                 "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
             }
         )
+    if streams:
+        frames = [
+            {k: jnp.broadcast_to(v, (streams,) + v.shape) for k, v in f.items()}
+            for f in frames
+        ]
 
     for i in range(WARMUP):
         session.step(frames[i % len(frames)])
@@ -209,10 +219,13 @@ def main() -> None:
         fps = max(fps, ITERS / dt)
         print(f"# pass: {ITERS / dt:.2f} FPS", file=sys.stderr, flush=True)
 
+    if streams:
+        fps *= streams  # total camera-frames adapted per second
     print(
         json.dumps(
             {
-                "metric": "madnet_mad_adaptation_fps_384x1280",
+                "metric": "madnet_mad_adaptation_fps_384x1280"
+                + (f"_x{streams}streams" if streams else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
