@@ -166,10 +166,13 @@ def main() -> None:
     # adapting independently per dispatch, vmap-ed shared-forward step);
     # the headline metric stays the single-stream lax.switch step.
     streams = int(os.environ.get("BENCH_STREAMS", "0"))
+    # BENCH_MODE=NONE|FULL|MAD: which adaptation mode to time (README
+    # perf table); the driver metric stays the MAD default.
+    bench_mode = os.environ.get("BENCH_MODE", "MAD")
     session = FusedOnlineSession(
         engine,
         params,
-        mode="MAD",
+        mode=bench_mode,
         sample_mode="PROBABILITY",
         ssim_th=1e9,  # never reset during the bench
         max_steps=WARMUP + PASSES * ITERS + 8,
@@ -224,7 +227,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "madnet_mad_adaptation_fps_384x1280"
+                "metric": f"madnet_{bench_mode.lower()}_adaptation_fps_384x1280"
                 + (f"_x{streams}streams" if streams else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",

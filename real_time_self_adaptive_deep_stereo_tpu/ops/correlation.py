@@ -59,8 +59,14 @@ def _corr_fwd_kernel(x_ref, ypad_ref, out_ref, *, max_disp: int, width: int):
 
 
 def _pick_row_tile(h: int, w: int, c: int, max_disp: int) -> int:
-    """Rows per grid step, sized so blocks fit comfortably in VMEM."""
-    vmem_budget = 8 * 1024 * 1024  # leave headroom out of ~16MB
+    """Rows per grid step, sized so blocks fit comfortably in VMEM.
+
+    Budget is deliberately small (~1.5MB of block inputs): under
+    ``jax.vmap`` (multi-stream sessions) the pallas batching rule maps
+    the new axis into the BLOCK, multiplying its VMEM footprint by the
+    stream count — an 8MB block OOMs scoped VMEM at 4 streams. Extra
+    grid steps cost almost nothing (total HBM traffic is unchanged)."""
+    vmem_budget = 1536 * 1024
     bytes_per_row = (2 * w + 2 * max_disp) * c * 4
     th = max(1, vmem_budget // max(1, bytes_per_row))
     th = min(th, h)
