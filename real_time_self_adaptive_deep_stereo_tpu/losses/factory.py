@@ -21,6 +21,7 @@ from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
     resolve_warp_mode,
     warp_image,
     warp_image_onehot,
+    warp_image_onehot_flat,
     warp_image_shift,
 )
 
@@ -382,6 +383,11 @@ def get_reprojection_loss(
             return warp_image_shift(img, disp, warp_max_disp)
         return warp_image(img, disp)
 
+    # fully-flat fast path: the warp emits [B,H,W*C] directly and the
+    # SSIM/l1 compute in that layout — the [B,H,W,3] warped image (a
+    # lane-hostile buffer on TPU) never materializes
+    flat_path = mode == "onehot" and reconstruction_loss == "mean_SSIM_l1"
+
     def compute_loss(disparities: List[jnp.ndarray], inputs: dict):
         left = inputs["left"].astype(jnp.float32) / 256.0
         right = inputs["right"].astype(jnp.float32) / 256.0
@@ -391,8 +397,17 @@ def get_reprojection_loss(
             cur = disparities[-(i + 1)]
             scale = left.shape[2] / cur.shape[2]
             resized = resize_to(cur, left) * scale
-            reproj = _warp(right, resized)
-            acc.append(weights[i] * base(reproj, left))
+            if flat_path:
+                wf = warp_image_onehot_flat(right, resized, warp_max_disp)
+                lf = _flat(left)
+                c = left.shape[-1]
+                loss_i = 0.85 * _ssim_mean_flat(wf, lf, c) + 0.15 * jnp.mean(
+                    jnp.abs(wf - lf)
+                )
+                acc.append(weights[i] * loss_i)
+            else:
+                reproj = _warp(right, resized)
+                acc.append(weights[i] * base(reproj, left))
         return jnp.sum(jnp.stack(acc)) if reduced else acc
 
     return compute_loss

@@ -35,9 +35,22 @@ __all__ = [
     "warp_image_shift",
     "warp_features_horizontal_shift",
     "warp_image_onehot",
+    "warp_image_onehot_flat",
     "warp_features_onehot",
     "resolve_warp_mode",
 ]
+
+
+def _matmul_precision():
+    """Warp one-hot matmuls follow the global conv precision policy:
+    HIGHEST for fp32-exact parity runs, DEFAULT (one bf16 MXU pass) in
+    the fast serving mode — an fp32-HIGHEST dot on TPU is a multi-pass
+    emulation ~6x slower, and it dominated the remaining loss-path time.
+    End-to-end accuracy drift of the fast mode is tracked in
+    PARITY_RESULTS.md."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops import conv as _conv
+
+    return _conv._CONV_PRECISION
 
 
 def resolve_warp_mode(mode: str) -> str:
@@ -301,8 +314,51 @@ def warp_image_onehot(
             + w1[:, :, x_start : x_start + cw, None] * sel1
         )
         outs.append(
-            jnp.einsum("bhxv,bhvc->bhxc", m, win, precision="highest")
+            jnp.einsum("bhxv,bhvc->bhxc", m, win, precision=_matmul_precision())
         )
+    return jnp.concatenate(outs, axis=2)
+
+
+def warp_image_onehot_flat(
+    img: jnp.ndarray, disp: jnp.ndarray, max_disp: int = 192, chunk: int = 256
+) -> jnp.ndarray:
+    """:func:`warp_image_onehot` emitting the merged ``[B,H,W*C]`` layout.
+
+    Materializing the warped image as NHWC costs ~0.16 ms per write at
+    384x1280x3 (C=3 in the lane dim -> ~4% effective HBM bandwidth), and
+    the flat-layout loss (losses/factory.py ``_flat``) immediately
+    relayouts it again. Here each chunk's matmul output reshapes to
+    ``[B,H,cw*C]`` straight out of the dot epilogue and the concatenation
+    happens lane-aligned, so the bad layout never exists."""
+    b, h, w, c = img.shape
+    s = max_disp
+    imgpad = jnp.concatenate(
+        [jnp.broadcast_to(img[:, :, :1, :], (b, h, s, c)), img], axis=2
+    )
+    d = jnp.clip(disp[..., 0], 0.0, float(s))
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    cx = xs - d
+    x0 = jnp.floor(cx)
+    w1 = cx - x0
+    w0 = 1.0 - w1
+    i0 = jnp.clip(x0, 0.0, float(w - 1)) + s
+    i1 = jnp.clip(x0 + 1.0, 0.0, float(w - 1)) + s
+
+    outs = []
+    for x_start in range(0, w, chunk):
+        cw = min(chunk, w - x_start)
+        win = jax.lax.slice_in_dim(imgpad, x_start, x_start + cw + s, axis=2)
+        vidx = (
+            jnp.arange(cw + s, dtype=jnp.float32) + x_start
+        )[None, None, None, :]
+        sel0 = (vidx == i0[:, :, x_start : x_start + cw, None]).astype(img.dtype)
+        sel1 = (vidx == i1[:, :, x_start : x_start + cw, None]).astype(img.dtype)
+        m = (
+            w0[:, :, x_start : x_start + cw, None] * sel0
+            + w1[:, :, x_start : x_start + cw, None] * sel1
+        )
+        o = jnp.einsum("bhxv,bhvc->bhxc", m, win, precision=_matmul_precision())
+        outs.append(o.reshape(b, h, cw * c))
     return jnp.concatenate(outs, axis=2)
 
 
@@ -347,5 +403,7 @@ def warp_features_onehot(
             w0[:, :, x_start : x_start + cw, None] * sel0
             + w1[:, :, x_start : x_start + cw, None] * sel1
         )
-        outs.append(jnp.einsum("bhxv,bhvc->bhxc", m, win, precision="highest"))
+        outs.append(
+            jnp.einsum("bhxv,bhvc->bhxc", m, win, precision=_matmul_precision())
+        )
     return jnp.concatenate(outs, axis=2)

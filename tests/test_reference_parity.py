@@ -144,3 +144,25 @@ def test_supervised_loss_matches_reference():
         {"left": jnp.asarray(l), "target": jnp.asarray(gt)},
     )
     np.testing.assert_allclose(float(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_reprojection_loss_flat_onehot_path_matches_gather():
+    """The TPU fast path (flat-layout warp + flat SSIM/l1, activated for
+    warp_mode='onehot') must agree with the exact gather-warp path that
+    the TF1 golden test above validates."""
+    from real_time_self_adaptive_deep_stereo_tpu.losses import get_reprojection_loss
+
+    r = np.random.default_rng(3)
+    H, W = 48, 96
+    inputs = {
+        "left": jnp.asarray(r.random((1, H, W, 3)) * 255, jnp.float32),
+        "right": jnp.asarray(r.random((1, H, W, 3)) * 255, jnp.float32),
+    }
+    disp = jnp.asarray(r.random((1, H, W, 1)) * 20, jnp.float32)
+    exact = get_reprojection_loss("mean_SSIM_l1", reduced=True, warp_mode="gather")(
+        [disp], inputs
+    )
+    flat = get_reprojection_loss("mean_SSIM_l1", reduced=True, warp_mode="onehot")(
+        [disp], inputs
+    )
+    np.testing.assert_allclose(float(flat), float(exact), rtol=2e-5, atol=1e-6)
