@@ -238,8 +238,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--selftest" in sys.argv:
         selftest(verbose=True)
     else:

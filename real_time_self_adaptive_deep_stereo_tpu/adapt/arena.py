@@ -78,8 +78,18 @@ class ArenaSpec:
             for bpath in block.paths:
                 for sub, leaf in _walk(_get(params, bpath)):
                     full = tuple(bpath) + sub
-                    if full not in seen:
-                        add_leaf(full, leaf)
+                    if full in seen:
+                        # a leaf shared by two blocks cannot live in two
+                        # contiguous ranges; silently assigning it to the
+                        # first block would make the second block's
+                        # updates drop it (unlike minimize(var_list=...))
+                        raise ValueError(
+                            f"param {'/'.join(full)} appears in more than "
+                            "one MAD block; the flat arena requires "
+                            "disjoint blocks — use arena=False for "
+                            "overlapping block configs"
+                        )
+                    add_leaf(full, leaf)
             ranges.append((start, pos))
         for path, leaf in _walk(params):
             if path not in seen:

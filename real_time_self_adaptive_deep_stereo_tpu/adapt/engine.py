@@ -180,11 +180,13 @@ class AdaptationEngine:
     def _full_loss(self, disparities: List[jnp.ndarray], frame: Dict) -> jnp.ndarray:
         return self._full_loss_fn(disparities, frame)
 
-    def _block_loss(self, disparities, k: int, frame: Dict) -> jnp.ndarray:
-        """Loss for MAD block k: its scale's prediction, rescaled to the
-        (optionally downscaled) inputs (Stereo_Online_Adaptation.py:91-107)."""
+    def block_loss_inputs(self, frame: Dict):
+        """Scaled loss inputs + per-prediction prep for MAD block losses
+        (the --reprojectionScale protocol, Stereo_Online_Adaptation.py
+        :91-107). The SINGLE definition shared by :meth:`_block_loss`
+        (switch-path branches) and the fused shared-forward step, so the
+        two MAD implementations cannot de-synchronize."""
         s = self.reprojection_scale
-        p = disparities[k]
         left = _scale_tensor(frame["left"], s)
         inputs = {
             "left": left,
@@ -193,9 +195,18 @@ class AdaptationEngine:
         }
         if "proxy" in frame:
             inputs["proxy"] = _scale_tensor(frame["proxy"], s) / s
-        multiplier = float(frame["left"].shape[1] // p.shape[1])
-        p = resize_to(p, left) * multiplier
-        return self._block_base_loss([p], inputs)
+
+        def prep(p):
+            multiplier = float(frame["left"].shape[1] // p.shape[1])
+            return resize_to(p, left) * multiplier
+
+        return inputs, prep
+
+    def _block_loss(self, disparities, k: int, frame: Dict) -> jnp.ndarray:
+        """Loss for MAD block k: its scale's prediction, rescaled to the
+        (optionally downscaled) inputs (Stereo_Online_Adaptation.py:91-107)."""
+        inputs, prep = self.block_loss_inputs(frame)
+        return self._block_base_loss([prep(disparities[k])], inputs)
 
     def _outputs(self, out: Dict, frame: Dict, loss: jnp.ndarray) -> Dict:
         epe, bad3 = disparity_metrics(out["full_res_disp"], frame["target"])

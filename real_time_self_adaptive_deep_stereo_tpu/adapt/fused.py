@@ -34,11 +34,9 @@ import numpy as np
 from real_time_self_adaptive_deep_stereo_tpu.adapt.arena import build_arena
 from real_time_self_adaptive_deep_stereo_tpu.adapt.engine import (
     AdaptationEngine,
-    _scale_tensor,
     d1_metric,
     disparity_metrics,
 )
-from real_time_self_adaptive_deep_stereo_tpu.ops.resize import resize_to
 
 __all__ = ["FusedOnlineSession"]
 
@@ -135,12 +133,15 @@ class FusedOnlineSession:
                         "(the shared-forward step)"
                     )
                 shared_forward = True
-        self.shared_forward = (
-            shared_forward
-            and mode == "MAD"
-            and num_blocks == 1
-            and engine.optimizer == "momentum"
-        )
+        if shared_forward and not (
+            mode == "MAD" and num_blocks == 1 and engine.optimizer == "momentum"
+        ):
+            raise ValueError(
+                "shared_forward requires mode='MAD', num_blocks=1 and the "
+                "momentum optimizer (got mode=%r, num_blocks=%d, optimizer=%r)"
+                % (mode, num_blocks, engine.optimizer)
+            )
+        self.shared_forward = bool(shared_forward)
 
         self.spec = build_arena(params, engine.blocks) if arena else None
         self.state = self._init_state(params, seed)
@@ -190,7 +191,7 @@ class FusedOnlineSession:
             "loss_t2": jnp.zeros((), jnp.float32),
             "last_mask": jnp.zeros((n,), jnp.float32),
             "key": jax.random.PRNGKey(
-                seed if isinstance(seed, int) else 0
+                0 if isinstance(seed, (list, tuple)) else int(seed)
             ),
             "step": jnp.zeros((), jnp.int32),
             "reset_count": jnp.zeros((), jnp.int32),
@@ -252,18 +253,11 @@ class FusedOnlineSession:
             return spec.unravel(params) if spec is not None else params
 
         def vec_update(bp, opt_sl, g, k):
-            """Optimizer update on arena vectors (numerics identical to
-            engine._apply_update; TF MomentumOptimizer / AdamOptimizer)."""
-            if eng.optimizer == "momentum":
-                acc2 = eng.momentum * opt_sl["acc"] + g
-                return bp - eng.lr * acc2, {"acc": acc2}
-            t = opt_sl["t"][k] + 1
-            m = 0.9 * opt_sl["m"] + 0.1 * g
-            v = 0.999 * opt_sl["v"] + 0.001 * g * g
-            tf_ = t.astype(jnp.float32)
-            lr_t = eng.lr * jnp.sqrt(1.0 - 0.999**tf_) / (1.0 - 0.9**tf_)
-            bp2 = bp - lr_t * m / (jnp.sqrt(v) + 1e-8)
-            return bp2, {"m": m, "v": v, "t": opt_sl["t"].at[k].set(t)}
+            """Optimizer update on arena vectors — delegates straight to
+            engine._apply_update (its tree_maps operate on bare arrays),
+            so the arena and pytree paths share ONE set of optimizer
+            numerics."""
+            return eng._apply_update(bp, opt_sl, g, k)
 
         def train_none(params, opt, frame):
             out = eng.model.forward(as_tree(params), frame["left"], frame["right"])
@@ -370,24 +364,13 @@ class FusedOnlineSession:
             the per-block loss candidates, dynamically select with the
             sampled id, backprop once, and mask the momentum update per
             leaf by block ownership (Stereo_Online_Adaptation.py:85-118)."""
-            s = eng.reprojection_scale
-            left_s = _scale_tensor(frame["left"], s)
-            inputs = {
-                "left": left_s,
-                "right": _scale_tensor(frame["right"], s),
-                "target": _scale_tensor(frame["target"], s) / s,
-            }
-            if "proxy" in frame:
-                inputs["proxy"] = _scale_tensor(frame["proxy"], s) / s
+            inputs, prep = eng.block_loss_inputs(frame)
 
             def loss_fn(p):
                 out = eng.model.forward(p, frame["left"], frame["right"])
-                cands = []
-                for i in range(n):
-                    d = out["disparities"][i]
-                    mult = float(frame["left"].shape[1] // d.shape[1])
-                    cands.append(resize_to(d, left_s) * mult)
-                stacked = jnp.stack(cands, 0)
+                stacked = jnp.stack(
+                    [prep(out["disparities"][i]) for i in range(n)], 0
+                )
                 sel = jax.lax.dynamic_index_in_dim(stacked, k, 0, keepdims=False)
                 return eng._block_base_loss([sel], inputs), out
 

@@ -178,6 +178,11 @@ def resize_image_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         x = np.einsum("oh,hwc->owc", _interp_matrix(h, out_h), x)
     if w != out_w:
         x = np.einsum("ow,hwc->hoc", _interp_matrix(w, out_w), x)
+    if np.issubdtype(img.dtype, np.integer):
+        # the reference feeds tf.image.resize's FLOAT output straight to
+        # the network (demo_model.py:80-86); truncating back to the
+        # integer input dtype would bias every pixel downward
+        return x
     return x.astype(img.dtype)
 
 

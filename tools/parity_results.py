@@ -209,8 +209,9 @@ def main_drift(args):
         "",
         f"Same sequence/protocol as above, {args.frames} frames @ "
         f"{args.height}x{args.width}. exact = gather warps + fp32 "
-        "HIGHEST convs; fast = mxu Pallas warps + default precision "
-        "(bf16 multiplies, fp32 accumulation) — the bench.py mode.",
+        "HIGHEST convs/matmuls; fast = one-hot MXU matmul warps "
+        "(warp_mode='auto') + the given conv/matmul precision mode — "
+        "'default' is the bench.py serving mode.",
         "",
         "| run | EPE | bad3 | D1-all | resets |",
         "|---|---|---|---|---|",
