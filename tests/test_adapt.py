@@ -384,3 +384,36 @@ def test_multistream_session_matches_single(madnet_setup):
         rtol=2e-5,
         atol=1e-7,
     )
+
+
+def test_arena_rejects_overlapping_blocks(madnet_setup):
+    """A param leaf in two MAD blocks cannot live in the flat arena's
+    contiguous ranges; silent first-block assignment would drop the
+    second block's updates, so construction must fail loudly."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.arena import build_arena
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.blocks import Block
+
+    net, params, blocks, eng = madnet_setup
+    overlapping = [
+        Block(0, [("estimator_6",), ("pyramid", "conv12")]),
+        Block(1, [("estimator_5",), ("pyramid", "conv12")]),  # conv12 again
+    ]
+    with pytest.raises(ValueError, match="more than one MAD block"):
+        build_arena(params, overlapping)
+
+
+def test_shared_forward_invalid_combo_raises(madnet_setup):
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    with pytest.raises(ValueError, match="shared_forward requires"):
+        FusedOnlineSession(
+            eng, params, mode="FULL", shared_forward=True, max_steps=4
+        )
+    with pytest.raises(ValueError, match="shared_forward requires"):
+        FusedOnlineSession(
+            eng, params, mode="MAD", num_blocks=2, shared_forward=True,
+            max_steps=4,
+        )
