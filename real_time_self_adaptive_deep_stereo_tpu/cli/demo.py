@@ -36,6 +36,7 @@ class RealTimeStereo(threading.Thread):
         display: str = "cv2",
         out_dir: str | None = None,
         max_frames: int | None = None,
+        colormap: str = "jet",
     ):
         super().__init__(daemon=True)
         self.queue = in_queue
@@ -48,6 +49,7 @@ class RealTimeStereo(threading.Thread):
         self.display = display
         self.out_dir = out_dir
         self.max_frames = max_frames
+        self.colormap = colormap
         self.frame_times: list = []
         # NB: must not be named `_stop` (threading.Thread internal)
         self._stop_evt = threading.Event()
@@ -97,7 +99,9 @@ class RealTimeStereo(threading.Thread):
             if self.display == "cv2":  # pragma: no cover - needs a display
                 import cv2
 
-                vis = (colorize_disparity(disp, cmap="jet") * 255).astype(np.uint8)
+                vis = (
+                    colorize_disparity(disp, cmap=self.colormap) * 255
+                ).astype(np.uint8)
                 vis = np.ascontiguousarray(vis[..., ::-1])
                 cv2.putText(
                     vis,
@@ -161,6 +165,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--list", default=None, help="pair list for --camera folder")
     p.add_argument("--loop", action="store_true")
     p.add_argument("--display", default="cv2", choices=["cv2", "none"])
+    p.add_argument(
+        "--colormap",
+        default="jet",
+        help="matplotlib colormap for the disparity window (jet, magma, "
+        "viridis, turbo, ...); the reference demo uses jet",
+    )
     p.add_argument("--outDir", default=None)
     p.add_argument("--maxFrames", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -213,6 +223,7 @@ def main(args) -> float:
         display=args.display,
         out_dir=args.outDir,
         max_frames=args.maxFrames,
+        colormap=args.colormap,
     )
     cam.start()
     worker.start()
