@@ -74,6 +74,7 @@ class FusedOnlineSession:
         shared_forward: bool = False,
         arena: bool = True,
         num_streams: int = 0,
+        stream_impl: str = "auto",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -114,23 +115,41 @@ class FusedOnlineSession:
         # switch/state boundary.
         # ``num_streams=N`` turns the session into N INDEPENDENT
         # adaptation streams (e.g. one per camera of a rig) sharing one
-        # chip and ONE dispatch per frame-batch: the per-stream step is
-        # jax.vmap-ed, so each stream carries its own params / optimizer
-        # / controller state while the convs run batched on the MXU
-        # (batch-1 streams leave the systolic array nearly idle).
-        # Net-new vs the single-GPU single-stream reference. MAD under
-        # vmap requires the shared-forward step: a vmapped lax.switch
-        # with per-stream indices would execute every branch and select,
-        # while the masked-update program vmaps cleanly.
+        # chip and ONE dispatch per frame-batch; per-stream params /
+        # optimizer / controller state carry a leading stream axis.
+        # Net-new vs the single-GPU single-stream reference.
+        #
+        # stream_impl picks how the per-stream step composes:
+        # * "map"  — jax.lax.map: streams execute SEQUENTIALLY inside the
+        #   one program, so each keeps the switch path's partial backward
+        #   (full single-stream efficiency; ~N x single-stream step time,
+        #   peak activation memory of ONE stream). The default on a
+        #   single device.
+        # * "vmap" — jax.vmap: streams execute batched/lockstep; MAD then
+        #   requires the shared-forward step (a vmapped lax.switch with
+        #   per-stream indices would run EVERY branch), which pays a full
+        #   backward per stream. Required (and default) under a mesh,
+        #   where the stream axis shards across devices and sequential
+        #   map would serialize them.
         self.num_streams = int(num_streams)
+        if stream_impl == "auto":
+            stream_impl = "vmap" if mesh is not None else "map"
+        self.stream_impl = stream_impl
         if self.num_streams:
             if not arena:
                 raise ValueError("num_streams requires arena=True")
-            if mode == "MAD":
+            if stream_impl not in ("map", "vmap"):
+                raise ValueError(f"unknown stream_impl {stream_impl!r}")
+            if stream_impl == "map" and mesh is not None:
+                raise ValueError(
+                    "stream_impl='map' serializes streams — use 'vmap' "
+                    "for stream-parallel execution over a mesh"
+                )
+            if stream_impl == "vmap" and mode == "MAD":
                 if num_blocks != 1 or engine.optimizer != "momentum":
                     raise ValueError(
-                        "num_streams MAD requires num_blocks=1 + momentum "
-                        "(the shared-forward step)"
+                        "num_streams MAD under vmap requires num_blocks=1 "
+                        "+ momentum (the shared-forward step)"
                     )
                 shared_forward = True
         if shared_forward and not (
@@ -505,6 +524,13 @@ class FusedOnlineSession:
             # frames carry a leading stream axis; params0 (closure
             # constant) broadcasts. Streams can also be sharded over a
             # mesh (stream-parallel serving: whole streams per device).
+            if self.stream_impl == "map":
+                # sequential per-stream execution preserves the switch
+                # path's partial backward — full single-stream efficiency
+                def mstep(state, frame):
+                    return jax.lax.map(lambda sf: step(sf[0], sf[1]), (state, frame))
+
+                return jax.jit(mstep, donate_argnums=(0,))
             vstep = jax.vmap(step)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P

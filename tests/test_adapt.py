@@ -332,11 +332,13 @@ def test_split_forward_matches_whole_forward(name):
     assert len(whole["disparities"]) == len(staged["disparities"])
 
 
-def test_multistream_session_matches_single(madnet_setup):
-    """num_streams=N vmaps the shared-forward MAD step: each stream is an
-    independent adaptation (own params/opt/scores/PRNG). With identical
-    seeds and frames every stream must reproduce the single-stream
-    trajectory exactly."""
+@pytest.mark.parametrize("stream_impl", ["map", "vmap"])
+def test_multistream_session_matches_single(madnet_setup, stream_impl):
+    """num_streams=N runs N independent adaptation streams in ONE program
+    (own params/opt/scores/PRNG each). 'map' composes the production
+    switch step sequentially (partial backward preserved), 'vmap'
+    batches the shared-forward step. With identical seeds and frames
+    every stream must reproduce the matching single-stream trajectory."""
     from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
         FusedOnlineSession,
     )
@@ -352,7 +354,7 @@ def test_multistream_session_matches_single(madnet_setup):
         ssim_th=1e9,
         max_steps=8,
         seed=0,
-        shared_forward=True,
+        shared_forward=(stream_impl == "vmap"),
     )
     for f in frames:
         single.step(f)
@@ -367,6 +369,7 @@ def test_multistream_session_matches_single(madnet_setup):
         max_steps=8,
         seed=[0, 0],
         num_streams=2,
+        stream_impl=stream_impl,
     )
     for f in frames:
         multi.step(jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), f))
