@@ -345,3 +345,26 @@ def test_conv_bf16_mode_close_to_f32_and_restores():
     # and the global must be restored for the rest of the suite
     again = conv2d(params, x)
     np.testing.assert_allclose(np.asarray(again), np.asarray(want), rtol=0, atol=0)
+
+
+def test_warp_image_onehot_flat_matches_nhwc():
+    """warp_image_onehot_flat must equal the NHWC one-hot warp reshaped
+    to the merged [B,H,W*C] layout (it exists purely to avoid ever
+    materializing the lane-hostile NHWC buffer on TPU)."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
+        warp_image_onehot,
+        warp_image_onehot_flat,
+    )
+
+    img = jnp.asarray(rng.random((1, 24, 300, 3)) * 255, jnp.float32)
+    disp = jnp.asarray(rng.random((1, 24, 300, 1)) * 40, jnp.float32)
+    want = warp_image_onehot(img, disp, 48)
+    got = warp_image_onehot_flat(img, disp, 48)
+    b, h, w, c = want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(b, h, w * c), rtol=1e-6, atol=1e-6
+    )
+    # gradients agree too (the loss path differentiates through it)
+    g1 = jax.grad(lambda d: jnp.sum(warp_image_onehot(img, d, 48) ** 2))(disp)
+    g2 = jax.grad(lambda d: jnp.sum(warp_image_onehot_flat(img, d, 48) ** 2))(disp)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-5)
