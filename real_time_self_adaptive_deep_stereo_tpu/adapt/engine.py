@@ -139,17 +139,24 @@ class AdaptationEngine:
         self._infer_fn = None
         self._full_fn = None
         self._block_fns: Dict[int, Callable] = {}
+        self._multi_fns: Dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------- opt state
     def init_opt(self, params) -> Dict:
         if self.optimizer == "momentum":
             return {"acc": optim.momentum_init(params)}
         if self.optimizer == "adam":
-            n = max(1, len(self.blocks))
+            # ONE scalar step count shared by every block: the reference
+            # demo builds all per-block train ops from a single
+            # tf.train.AdamOptimizer (Demo/demo_model.py:163-170), whose
+            # beta1_power/beta2_power bias-correction variables are
+            # per-OPTIMIZER and advance once per executed train op — so
+            # the correction follows the global number of adaptation
+            # steps, not per-block counts.
             return {
                 "m": optim.momentum_init(params),
                 "v": optim.momentum_init(params),
-                "t": jnp.zeros((n,), jnp.int32),
+                "t": jnp.zeros((), jnp.int32),
             }
         raise ValueError(self.optimizer)
 
@@ -160,8 +167,11 @@ class AdaptationEngine:
                 bp, opt_sub["acc"], grads, self.lr, self.momentum
             )
             return new_bp, {"acc": new_acc}
-        # adam with per-block step counters (TF keeps per-train-op slots)
-        t = opt_sub["t"][block_index] + 1
+        # adam with the optimizer-global step count (see init_opt); m/v
+        # slots are per-variable, so the extracted block's slices are the
+        # only ones touched — exactly tf.train.AdamOptimizer's behaviour
+        # when minimize(var_list=block) runs
+        t = opt_sub["t"] + 1
         m = jax.tree_util.tree_map(
             lambda m_, g: 0.9 * m_ + 0.1 * g, opt_sub["m"], grads
         )
@@ -173,8 +183,7 @@ class AdaptationEngine:
         new_bp = jax.tree_util.tree_map(
             lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + 1e-8), bp, m, v
         )
-        new_t = opt_sub["t"].at[block_index].set(t)
-        return new_bp, {"m": m, "v": v, "t": new_t}
+        return new_bp, {"m": m, "v": v, "t": t}
 
     # ---------------------------------------------------------------- losses
     def _full_loss(self, disparities: List[jnp.ndarray], frame: Dict) -> jnp.ndarray:
@@ -275,6 +284,68 @@ class AdaptationEngine:
 
             self._block_fns[k] = jax.jit(_step, donate_argnums=(0, 1))
         return self._block_fns[k]
+
+    def adapt_blocks(self, ks: Sequence[int]):
+        """Jitted one-shot step training several blocks TOGETHER.
+
+        Reference semantics for ``--numBlocks > 1``: all selected
+        per-block train ops run in a SINGLE ``sess.run``
+        (Stereo_Online_Adaptation.py:185,201-208), so every block's
+        gradient is evaluated at the same pre-step parameters and the
+        disjoint updates land together. Applying the blocks
+        sequentially (block j's gradient seeing block i's update) is a
+        silent semantic divergence — this step computes all gradients
+        first, then merges all updates.
+
+        Duplicate ids collapse (TF dedupes identical fetches in one
+        run). Cached per sorted id set; order cannot matter because the
+        losses are independent and the updates disjoint.
+        """
+        key = tuple(sorted(dict.fromkeys(int(k) for k in ks)))
+        if key not in self._multi_fns:
+            sel = [(k, self.blocks[k]) for k in key]
+
+            def _step(params, opt, frame):
+                grads_list, block_losses, out0 = [], [], None
+                for k, block in sel:
+                    bp = block.extract(params)
+
+                    def loss_fn(bp_, block=block, k=k):
+                        p = block.merge(params, bp_)
+                        out = self.model.forward(p, frame["left"], frame["right"])
+                        return self._block_loss(out["disparities"], k, frame), out
+
+                    (bl, out), g = jax.value_and_grad(loss_fn, has_aux=True)(bp)
+                    out0 = out0 if out0 is not None else out
+                    block_losses.append(bl)
+                    grads_list.append(g)
+
+                # apply phase: blocks are disjoint, so extracting from the
+                # accumulated trees still reads pre-step values for this
+                # block's leaves. Every update reads the PRE-step Adam
+                # step count (all applies see the same beta powers within
+                # one run); the count then advances once per executed op.
+                new_params, new_opt = params, opt
+                for (k, block), g in zip(sel, grads_list):
+                    bp = block.extract(new_params)
+                    opt_sub = self._extract_opt(new_opt, block)
+                    if "t" in opt_sub:
+                        opt_sub["t"] = opt["t"]
+                    new_bp, new_opt_sub = self._apply_update(bp, opt_sub, g, k)
+                    new_params = block.merge(new_params, new_bp)
+                    new_opt = self._merge_opt(new_opt, new_opt_sub, block)
+                if "t" in new_opt:
+                    new_opt["t"] = opt["t"] + len(sel)
+
+                # fetched loss/metrics come from the shared pre-step
+                # forward, like the reference's one round-trip
+                loss = self._full_loss(out0["disparities"], frame)
+                res = self._outputs(out0, frame, loss)
+                res["block_loss"] = jnp.stack(block_losses)
+                return new_params, new_opt, res
+
+            self._multi_fns[key] = jax.jit(_step, donate_argnums=(0, 1))
+        return self._multi_fns[key]
 
     def _extract_opt(self, opt: Dict, block: Block) -> Dict:
         sub = {}

@@ -186,11 +186,11 @@ class FusedOnlineSession:
                 opt = {}
             elif eng.optimizer == "momentum":
                 opt = {"acc": jnp.zeros_like(flat)}
-            else:  # adam (per-block step counters, engine._apply_update)
+            else:  # adam (optimizer-global step count, engine.init_opt)
                 opt = {
                     "m": jnp.zeros_like(flat),
                     "v": jnp.zeros_like(flat),
-                    "t": jnp.zeros((max(1, n),), jnp.int32),
+                    "t": jnp.zeros((), jnp.int32),
                 }
         else:
             opt = eng.init_opt(params) if self.mode != "NONE" else {}
@@ -361,8 +361,9 @@ class FusedOnlineSession:
         )
 
         # leaf -> owning-block-index map (python-int leaves — or one int32
-        # vector over the arena; blocks are disjoint)
-        if self.shared_forward:
+        # vector over the arena; blocks are disjoint). Needed by the
+        # shared-forward masked update AND the one-shot multi-block merge.
+        if self.shared_forward or (mode == "MAD" and self.num_blocks > 1):
             if spec is not None:
                 bid = np.full((spec.size,), -1, np.int32)
                 for bk, (s, e) in enumerate(spec.block_ranges):
@@ -436,15 +437,61 @@ class FusedOnlineSession:
                         return jax.lax.switch(
                             blocks_now[0], branches, params, opt, frame
                         )
-                    # multi-block: apply the sampled blocks sequentially
-                    p, o = params, opt
-                    loss = jnp.zeros((), jnp.float32)
-                    disp = jnp.zeros_like(frame["target"])
-                    for j in range(self.num_blocks):
-                        p, o, loss, disp = jax.lax.switch(
-                            blocks_now[j], branches, p, o, frame
-                        )
-                    return p, o, loss, disp
+                    # multi-block one-shot (reference single-sess.run
+                    # semantics, Stereo_Online_Adaptation.py:201-208):
+                    # every sampled branch reads the SAME pre-step
+                    # params/opt, then the disjoint updates merge via
+                    # ownership-masked selects. Duplicate sampled ids
+                    # collapse (identical branch outputs make the
+                    # chained select idempotent — matching TF's fetch
+                    # dedup in one run).
+                    outs = [
+                        jax.lax.switch(blocks_now[j], branches, params, opt, frame)
+                        for j in range(self.num_blocks)
+                    ]
+                    p2, o2 = params, opt
+                    for j, (pj, oj, _, _) in enumerate(outs):
+                        k_j = blocks_now[j]
+                        if spec is not None:
+                            m_j = leaf_block_ids == k_j
+                            p2 = jnp.where(m_j, pj, p2)
+                            o2 = {
+                                key: (
+                                    o2[key]  # scalar t fixed up below
+                                    if key == "t"
+                                    else jnp.where(m_j, oj[key], o2[key])
+                                )
+                                for key in o2
+                            }
+                        else:
+                            sel = lambda ids, a, b: jnp.where(ids == k_j, a, b)
+                            p2 = jax.tree_util.tree_map(
+                                sel, leaf_block_ids, pj, p2
+                            )
+                            o2 = {
+                                key: (
+                                    o2[key]
+                                    if key == "t"
+                                    else jax.tree_util.tree_map(
+                                        sel, leaf_block_ids, oj[key], o2[key]
+                                    )
+                                )
+                                for key in o2
+                            }
+                    if "t" in o2:
+                        # the shared Adam step count advances once per
+                        # UNIQUE executed train op (TF dedupes identical
+                        # fetches; each surviving op bumps the optimizer's
+                        # beta-power variables once)
+                        uniq = jnp.ones((), jnp.int32)
+                        for j in range(1, self.num_blocks):
+                            is_new = jnp.all(blocks_now[j] != blocks_now[:j])
+                            uniq = uniq + is_new.astype(jnp.int32)
+                        o2["t"] = opt["t"] + uniq
+                    # loss/disp come from the shared pre-step forward
+                    # (all branches saw the same params)
+                    _, _, loss0, disp0 = outs[0]
+                    return p2, o2, loss0, disp0
 
                 def no_train(args):
                     params, opt = args

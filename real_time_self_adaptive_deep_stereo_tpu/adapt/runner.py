@@ -117,12 +117,17 @@ class OnlineAdaptationSession:
             self.params, self.opt, res = self.engine.adapt_full(
                 self.params, self.opt, frame
             )
-        else:  # MAD
-            res = None
-            for k in self._blocks_to_train:
-                self.params, self.opt, res = self.engine.adapt_block(k)(
-                    self.params, self.opt, frame
-                )
+        elif len(self._blocks_to_train) == 1:  # MAD, single block
+            k = self._blocks_to_train[0]
+            self.params, self.opt, res = self.engine.adapt_block(k)(
+                self.params, self.opt, frame
+            )
+        else:  # MAD, numBlocks>1: one-shot — all gradients at pre-step
+            # params, disjoint updates applied together (the reference's
+            # single-sess.run semantics, Stereo_Online_Adaptation.py:201-208)
+            self.params, self.opt, res = self.engine.adapt_blocks(
+                self._blocks_to_train
+            )(self.params, self.opt, frame)
 
         new_loss = float(res["loss"])  # the single host sync per frame
 

@@ -73,12 +73,16 @@ def build_adaptation_graph(
     mode,
     block_config=None,
     adaptation="reprojection",
+    optimizer="momentum",
 ):
     """Rebuild the reference's online-adaptation *training step* exactly
     as Stereo_Online_Adaptation.py:54-128 (reprojection) /
     Stereo_Continual_Adaptation.py:54-128 (proxy) do: net (bulkhead iff
-    MAD) + full-res loss + MomentumOptimizer(lr, 0.9) train ops (one per
-    MAD block restricted to that block's variables, or one FULL op).
+    MAD) + full-res loss + train ops (one per MAD block restricted to
+    that block's variables, or one FULL op). ``optimizer`` picks
+    MomentumOptimizer(lr, 0.9) (online scripts) or AdamOptimizer(lr)
+    (the live demo, Demo/demo_model.py:163 — note ONE shared optimizer
+    across all block ops, so the beta powers are global).
 
     Returns (placeholders dict, full_loss, block_losses, train_ops, net).
     """
@@ -114,7 +118,10 @@ def build_adaptation_graph(
             "mean_l1", max_disp=192, weights=[0.1] * 10, reduced=True
         )([p], inp)
 
-    trainer = tf1.train.MomentumOptimizer(lr, 0.9)
+    if optimizer == "adam":
+        trainer = tf1.train.AdamOptimizer(lr)
+    else:
+        trainer = tf1.train.MomentumOptimizer(lr, 0.9)
     block_losses, train_ops = [], []
     if mode == "MAD":
         scale_preds = predictions[:-1]
@@ -133,6 +140,28 @@ def build_adaptation_graph(
     else:
         train_ops.append(trainer.minimize(full_loss))
     return ph, full_loss, block_losses, train_ops, net
+
+
+def build_supervised_train_graph(tf1, model_name, shape, lr, loss_type="mean_l1"):
+    """Rebuild Train.py's supervised training step (Train.py:54-102):
+    net + multi-scale supervised loss (max_disp=192) + AdamOptimizer on
+    the RAW lr (the decayed-lr tensor is computed but unused,
+    Train.py:94-95). Returns (placeholders, loss, train_op, net)."""
+    from Losses import loss_factory as ref_lf
+
+    h, w = shape
+    ph = {
+        "left": tf1.placeholder(tf1.float32, [1, h, w, 3]),
+        "right": tf1.placeholder(tf1.float32, [1, h, w, 3]),
+        "target": tf1.placeholder(tf1.float32, [1, h, w, 1]),
+    }
+    net = build_reference_net(tf1, model_name, ph["left"], ph["right"])
+    predictions = net.get_disparities()
+    loss = ref_lf.get_supervised_loss(
+        loss_type, multiScale=True, logs=False, weights=None, max_disp=192
+    )(predictions, ph)
+    train_op = tf1.train.AdamOptimizer(lr).minimize(loss)
+    return ph, loss, train_op, net
 
 
 def assign_params_ops(tf1, net_params, name_map):

@@ -235,6 +235,91 @@ def test_fused_session_matches_host_session(madnet_setup, shared_forward):
     )
 
 
+def test_multi_block_one_shot_semantics(madnet_setup):
+    """adapt_blocks([k0,k1]) must equal: gradients of BOTH blocks taken
+    at the same pre-step params, disjoint updates applied together (the
+    reference's single-sess.run semantics for --numBlocks>1,
+    Stereo_Online_Adaptation.py:201-208) — NOT sequential application
+    where block k1's gradient would see block k0's update."""
+    net, params, blocks, eng = madnet_setup
+    cp = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)  # noqa: E731
+    f = _frame()
+    k0, k1 = 0, 3
+
+    p2, _, res = eng.adapt_blocks([k0, k1])(cp(params), eng.init_opt(params), f)
+    assert res["block_loss"].shape == (2,)
+
+    # oracle: each block's own single-block step from the SAME params;
+    # the one-shot result takes block k's leaves from step k's output
+    pa, _, _ = eng.adapt_block(k0)(cp(params), eng.init_opt(params), f)
+    pb, _, _ = eng.adapt_block(k1)(cp(params), eng.init_opt(params), f)
+    expected = blocks[k0].merge(cp(params), blocks[k0].extract(pa))
+    expected = blocks[k1].merge(expected, blocks[k1].extract(pb))
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        p2,
+        expected,
+    )
+
+    # duplicate ids collapse (TF dedupes identical fetches in one run)
+    p_dup, _, _ = eng.adapt_blocks([k0, k0])(cp(params), eng.init_opt(params), f)
+    p_single, _, _ = eng.adapt_block(k0)(cp(params), eng.init_opt(params), f)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        p_dup,
+        p_single,
+    )
+
+
+def test_fused_matches_host_num_blocks_2(madnet_setup):
+    """Fused == host must hold for numBlocks=2: both paths implement the
+    one-shot pre-step-gradient semantics, so their loss/score/weight
+    trajectories must agree exactly."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(4)]
+    kw = dict(
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        num_blocks=2,
+        ssim_th=1e9,
+        seed=0,
+    )
+
+    host = OnlineAdaptationSession(
+        eng, jax.tree_util.tree_map(lambda x: x.copy(), params), **kw
+    )
+    host_losses = [host.step(f)["loss"] for f in frames]
+
+    fused = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        max_steps=8,
+        **kw,
+    )
+    for f in frames:
+        fused.step(f)
+    stats = fused.finalize()
+    np.testing.assert_allclose(stats["loss"], host_losses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["epe"], host.stats.epe, rtol=1e-4, atol=1e-4)
+    assert list(stats["fetch_counter"]) == host.stats.fetch_counter
+    np.testing.assert_allclose(stats["scores"], host.scores, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(fused.current_params()["pyramid"]["conv1"]["w"]),
+        np.asarray(host.params["pyramid"]["conv1"]["w"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+
+
 def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):
     """Fused == host must hold with the full knob set exercised: training
     dilated to every 3rd frame, block resampling every 2nd frame, and at

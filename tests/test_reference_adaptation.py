@@ -52,7 +52,9 @@ def _make_frames(n, with_proxy=False):
     return frames
 
 
-def _run_reference(mode, adaptation, frames, block_seq, params, name_map):
+def _run_reference(
+    mode, adaptation, frames, block_seq, params, name_map, optimizer="momentum"
+):
     tf1 = ref.load_tf1()
     tf1.reset_default_graph()
     import json
@@ -63,7 +65,7 @@ def _run_reference(mode, adaptation, frames, block_seq, params, name_map):
             block_config = json.load(f)
 
     ph, full_loss, block_losses, train_ops, net = ref.build_adaptation_graph(
-        tf1, "MADNet", (H, W), LR, mode, block_config, adaptation
+        tf1, "MADNet", (H, W), LR, mode, block_config, adaptation, optimizer
     )
     gvars, assigns = ref.assign_params_ops(tf1, params, name_map)
 
@@ -75,11 +77,20 @@ def _run_reference(mode, adaptation, frames, block_seq, params, name_map):
         for i, frame in enumerate(frames):
             feed = {ph[k]: frame[k] for k in ph}
             if mode == "MAD":
-                k = block_seq[i]
-                fl, bl, _ = sess.run(
-                    [full_loss, block_losses[k], train_ops[k]], feed_dict=feed
+                ks = block_seq[i]
+                ks = (ks,) if isinstance(ks, int) else tuple(ks)
+                # ONE sess.run with ALL selected train ops — the
+                # reference's --numBlocks semantics
+                # (Stereo_Online_Adaptation.py:185,201-208)
+                vals = sess.run(
+                    [full_loss]
+                    + [block_losses[k] for k in ks]
+                    + [train_ops[k] for k in ks],
+                    feed_dict=feed,
                 )
-                block_loss_vals.append(bl)
+                fl = vals[0]
+                bl = vals[1 : 1 + len(ks)]
+                block_loss_vals.append(bl[0] if len(ks) == 1 else bl)
             else:
                 fl, _ = sess.run([full_loss, train_ops[0]], feed_dict=feed)
             losses.append(fl)
@@ -91,7 +102,7 @@ def _run_reference(mode, adaptation, frames, block_seq, params, name_map):
     return np.asarray(losses), np.asarray(block_loss_vals), final_vars, step1_vars
 
 
-def _run_ours(mode, adaptation, frames, block_seq, params):
+def _run_ours(mode, adaptation, frames, block_seq, params, optimizer="momentum"):
     from real_time_self_adaptive_deep_stereo_tpu.adapt import (
         AdaptationEngine,
         load_block_config,
@@ -106,7 +117,7 @@ def _run_ours(mode, adaptation, frames, block_seq, params):
         load_block_config("block_config/MadNet_full.json"), model.layer_to_path
     )
     engine = AdaptationEngine(
-        model, blocks, lr=LR, optimizer="momentum", adaptation=adaptation,
+        model, blocks, lr=LR, optimizer=optimizer, adaptation=adaptation,
         warp_mode="gather",
     )
     p = jax.tree_util.tree_map(jnp.asarray, params)
@@ -116,9 +127,15 @@ def _run_ours(mode, adaptation, frames, block_seq, params):
     for i, frame in enumerate(frames):
         jf = {k: jnp.asarray(v) for k, v in frame.items()}
         if mode == "MAD":
-            k = block_seq[i]
-            p, opt, res = engine.adapt_block(k)(p, opt, jf)
-            block_loss_vals.append(float(res["block_loss"]))
+            ks = block_seq[i]
+            if isinstance(ks, int):
+                p, opt, res = engine.adapt_block(ks)(p, opt, jf)
+                block_loss_vals.append(float(res["block_loss"]))
+            else:
+                # one-shot multi-block (block_loss stacked in sorted-id
+                # order; tests pass sorted tuples)
+                p, opt, res = engine.adapt_blocks(ks)(p, opt, jf)
+                block_loss_vals.append(np.asarray(res["block_loss"]))
         else:
             p, opt, res = engine.adapt_full(p, opt, jf)
         losses.append(float(res["loss"]))
@@ -127,11 +144,26 @@ def _run_ours(mode, adaptation, frames, block_seq, params):
     return np.asarray(losses), np.asarray(block_loss_vals), p, p_step1
 
 
-def _assert_param_deltas_match(final_tf, params0, params_ours, name_map, tol):
+def _assert_param_deltas_match(
+    final_tf, params0, params_ours, name_map, tol, allow_frac=0.0, abs_cap=None
+):
     """Compare per-variable weight *deltas* (final - initial): the actual
     product of adaptation. Variables outside the trained blocks must be
-    bit-identical (delta exactly 0 in both frameworks)."""
+    bit-identical (delta exactly 0 in both frameworks).
+
+    ``allow_frac``/``abs_cap``: Adam's first-step update is
+    ``lr*g/(|g|+eps_hat)`` — for near-zero gradients the ratio is
+    violently nonlinear in g, so a ~1e-9 framework-level gradient
+    difference on ONE element can move its delta by several % of lr
+    while every other element agrees. Adam tests therefore allow a tiny
+    fraction of elements past the relative bound, capped at ``abs_cap``
+    absolutely (a systematic bug — e.g. a wrong bias-correction step
+    count — shifts ALL elements and still fails). The fraction is
+    aggregated over ALL trained variables, not per variable: a 16-element
+    bias vector with two legitimately sign-flipped elements is 12.5%
+    locally but noise globally."""
     checked = 0
+    n_viol = n_total = 0
     for tf_name, path in name_map.items():
         p0 = np.asarray(ref.get_leaf(params0, path))
         ours = np.asarray(ref.get_leaf(params_ours, path))
@@ -144,15 +176,45 @@ def _assert_param_deltas_match(final_tf, params0, params_ours, name_map, tol):
         else:
             # absolute floor 1e-8: deltas are O(lr * grad) and fp32
             # noise between frameworks sits at ~1e-9 per element
-            np.testing.assert_allclose(
-                d_ours, d_tf, rtol=0, atol=tol * scale + 1e-8,
-                err_msg=f"weight delta mismatch for {tf_name}",
-            )
+            bound = tol * scale + 1e-8
+            if allow_frac == 0.0:
+                np.testing.assert_allclose(
+                    d_ours, d_tf, rtol=0, atol=bound,
+                    err_msg=f"weight delta mismatch for {tf_name}",
+                )
+            else:
+                diff = np.abs(d_ours - d_tf)
+                n_viol += int((diff > bound).sum())
+                n_total += diff.size
+                assert diff.max() <= abs_cap, (
+                    f"{tf_name}: max delta diff {diff.max():.2e} > cap {abs_cap:.2e}"
+                )
         checked += 1
+    if allow_frac and n_total:
+        frac = n_viol / n_total
+        assert frac <= allow_frac, (
+            f"{frac:.4%} of trained elements beyond the relative bound "
+            f"(allowed {allow_frac:.2%}, {n_viol}/{n_total})"
+        )
     assert checked > 40
 
 
-def _run_parity(mode, adaptation):
+def _run_parity(
+    mode, adaptation, block_seq=None, optimizer="momentum", final_tol=5e-3
+):
+    # near-zero-gradient Adam elements legitimately deviate (see
+    # _assert_param_deltas_match): |step| saturates at ~lr_t*sign(g), so
+    # an element whose true gradient is ~1e-9 flips sign on fp32
+    # framework noise and lands 2*lr away. The update RULE itself is
+    # pinned bit-level by test_adam_update_rule_matches_tf_exactly; here
+    # 95% of elements must still agree at 5e-3 relative (a wrong bias
+    # correction shifts ALL elements ~30% and fails), with sign-flips
+    # capped at 2.5*lr.
+    delta_kw = (
+        {"allow_frac": 0.05, "abs_cap": 2.5 * LR}
+        if optimizer == "adam"
+        else {}
+    )
     from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
 
     model = get_stereo_net("MADNet", bulkhead=(mode == "MAD"), corr_mode="jnp")
@@ -160,12 +222,13 @@ def _run_parity(mode, adaptation):
     params_np = jax.tree_util.tree_map(np.asarray, params)
     name_map = model.tf_name_map()
 
-    frames = _make_frames(N_STEPS, with_proxy=(adaptation == "proxy"))
+    block_seq = BLOCK_SEQ if block_seq is None else block_seq
+    frames = _make_frames(len(block_seq), with_proxy=(adaptation == "proxy"))
     tf_losses, tf_block_losses, tf_final, tf_step1 = _run_reference(
-        mode, adaptation, frames, BLOCK_SEQ, params_np, name_map
+        mode, adaptation, frames, block_seq, params_np, name_map, optimizer
     )
     our_losses, our_block_losses, our_params, our_step1 = _run_ours(
-        mode, adaptation, frames, BLOCK_SEQ, params_np
+        mode, adaptation, frames, block_seq, params_np, optimizer
     )
 
     # Steps 0-1 prove the gradient + momentum update are exact: step 0
@@ -191,16 +254,18 @@ def _run_parity(mode, adaptation):
             our_block_losses, tf_block_losses, rtol=2e-2, atol=1e-5,
             err_msg="block loss trajectory diverged beyond the chaos bound",
         )
-    # Step-1 weight deltas: the exact gradient + momentum update through
+    # Step-1 weight deltas: the exact gradient + optimizer update through
     # the whole graph, before chaos can compound (tight for both modes).
-    _assert_param_deltas_match(tf_step1, params_np, our_step1, name_map, tol=5e-3)
+    _assert_param_deltas_match(
+        tf_step1, params_np, our_step1, name_map, tol=5e-3, **delta_kw
+    )
     if mode == "MAD":
         # 5-step deltas stay comparable for MAD (bulkhead-isolated
         # per-block updates); for FULL they are chaos-decorrelated at
         # fp32 — a 1e-7 initial perturbation fully decorrelates our own
         # loop's conv1 delta by step 5 — so only step-1 is asserted.
         _assert_param_deltas_match(
-            tf_final, params_np, our_params, name_map, tol=5e-3
+            tf_final, params_np, our_params, name_map, tol=final_tol, **delta_kw
         )
 
 
@@ -217,3 +282,190 @@ def test_full_adaptation_step_matches_reference():
 def test_mad_proxy_adaptation_step_matches_reference():
     """5 MAD steps against proxy labels (TPAMI continual pipeline)."""
     _run_parity("MAD", "proxy")
+
+
+def test_adam_update_rule_matches_tf_exactly():
+    """Adam semantics isolated from network chaos: two toy variables
+    with CONSTANT gradients driven through one shared
+    tf.train.AdamOptimizer via separate minimize(var_list=...) ops —
+    the demo's exact optimizer wiring (Demo/demo_model.py:163-170).
+    Verifies:
+
+    * the update formula (m/v accumulators, bias correction, epsilon
+      OUTSIDE the sqrt) — exact at 1e-6 on the deterministic prefix,
+    * the optimizer-GLOBAL beta-power step count: training only var2
+      still advances var1's future bias correction (a per-op count
+      would apply var2's first update at t_eff=1, ~0.3% off — loud),
+    * the one-sess.run two-op case: TF1 itself is RACY here — each op's
+      _finish multiplies the shared beta1_power/beta2_power with no
+      cross-op control dependency, so the apply-time power reads AND
+      the read-modify-write power bumps interleave nondeterministically
+      (observed run-to-run drift ~2e-3 in this very test). The
+      reference therefore has no single exact semantics for
+      --numBlocks>1 Adam; we assert TF's final state matches ONE of the
+      feasible interleavings and pin OUR convention (all applies read
+      the pre-run powers; the count then advances once per unique op)
+      to be among them.
+    """
+    tf1 = ref.load_tf1()
+    tf1.reset_default_graph()
+    lr = 0.01
+    p1_0 = np.array([1.0, -2.0, 3.0, 0.5], np.float32)
+    p2_0 = np.array([0.1, 4.0], np.float32)
+    g1 = np.array([0.3, -0.7, 0.02, -1.5], np.float32)
+    g2 = np.array([-0.9, 0.04], np.float32)
+
+    v1 = tf1.get_variable("toy_v1", initializer=p1_0)
+    v2 = tf1.get_variable("toy_v2", initializer=p2_0)
+    opt = tf1.train.AdamOptimizer(lr)
+    op1 = opt.minimize(tf1.reduce_sum(v1 * tf1.constant(g1)), var_list=[v1])
+    op2 = opt.minimize(tf1.reduce_sum(v2 * tf1.constant(g2)), var_list=[v2])
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())
+        sess.run(op1)            # run 1: var1 only
+        sess.run(op2)            # run 2: var2 only
+        det_p1, det_p2 = sess.run([v1, v2])
+        sess.run([op1, op2])     # run 3: BOTH ops in one sess.run (racy)
+        sess.run(op1)            # run 4: var1 only
+        tf_p1, tf_p2 = sess.run([v1, v2])
+
+    def adam(p, m, v, g, t_eff):
+        m2 = 0.9 * m + 0.1 * g
+        v2_ = 0.999 * v + 0.001 * g * g
+        lr_t = lr * np.sqrt(1.0 - 0.999**t_eff) / (1.0 - 0.9**t_eff)
+        return p - lr_t * m2 / (np.sqrt(v2_) + 1e-8), m2, v2_
+
+    # deterministic prefix: run 1 applies var1 at t_eff=1; run 2 applies
+    # var2 at t_eff=2 (GLOBAL count — the discriminating assertion)
+    p1a, m1a, v1a = adam(p1_0.astype(np.float64), 0.0, 0.0, g1, 1)
+    p2a, m2a, v2a = adam(p2_0.astype(np.float64), 0.0, 0.0, g2, 2)
+    np.testing.assert_allclose(det_p1, p1a, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(det_p2, p2a, rtol=0, atol=1e-6)
+
+    # run 3 interleavings: each apply reads the powers at t_eff 3, or 4
+    # if the OTHER op's finish landed first (at most one can); the two
+    # racy power bumps then serialize (t=5 next) or lose one update
+    # (t=4 next). Run 4 applies var1 at whatever survived.
+    finals = {}
+    for (a1, a2) in ((3, 3), (4, 3), (3, 4)):
+        for t4 in (4, 5):
+            q1, n1, w1 = adam(p1a, m1a, v1a, g1, a1)
+            q2, _, _ = adam(p2a, m2a, v2a, g2, a2)
+            q1, _, _ = adam(q1, n1, w1, g1, t4)
+            finals[(a1, a2, t4)] = (q1, q2)
+
+    ours_key = (3, 3, 5)  # pre-run reads, count advances per unique op
+    assert ours_key in finals
+    matched = [
+        key
+        for key, (q1, q2) in finals.items()
+        if np.abs(tf_p1 - q1).max() < 1e-6 and np.abs(tf_p2 - q2).max() < 1e-6
+    ]
+    assert matched, (
+        "TF final state matches no feasible Adam interleaving: "
+        f"tf_p1={tf_p1}, candidates="
+        f"{ {k: v[0].round(6).tolist() for k, v in finals.items()} }"
+    )
+    # all interleavings stay within ~0.1*lr of each other absolutely
+    # (the spread is O(update * Δbias-correction)) — our pre-run
+    # convention is inside the reference's own nondeterminism envelope
+    q1_ours, q2_ours = finals[ours_key]
+    for q1, q2 in finals.values():
+        np.testing.assert_allclose(q1, q1_ours, rtol=0, atol=0.1 * lr)
+        np.testing.assert_allclose(q2, q2_ours, rtol=0, atol=0.1 * lr)
+
+
+def test_mad_adam_adaptation_step_matches_reference():
+    """The live-demo path: MAD with a single shared AdamOptimizer
+    (Demo/demo_model.py:163-170). Proves our Adam update — including the
+    optimizer-GLOBAL bias-correction step count — against
+    tf.train.AdamOptimizer across alternating blocks."""
+    _run_parity("MAD", "reprojection", optimizer="adam")
+
+
+def test_full_adam_adaptation_step_matches_reference():
+    """Demo FULL mode: whole-net Adam adaptation step vs TF1."""
+    _run_parity("FULL", "reprojection", optimizer="adam")
+
+
+def test_supervised_train_step_matches_reference():
+    """Train.py's workload (Train.py:93-102): multi-scale supervised
+    loss (max_disp=192) + AdamOptimizer on the raw lr — the exact update
+    path cli/train.py uses (get_supervised_loss + optim.adam_update)."""
+    from real_time_self_adaptive_deep_stereo_tpu.losses import get_supervised_loss
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+    from real_time_self_adaptive_deep_stereo_tpu.utils import optim
+
+    model = get_stereo_net("MADNet", corr_mode="jnp")
+    params = model.init(jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    name_map = model.tf_name_map()
+    frames = _make_frames(3)
+
+    tf1 = ref.load_tf1()
+    tf1.reset_default_graph()
+    ph, tf_loss, train_op, net = ref.build_supervised_train_graph(
+        tf1, "MADNet", (H, W), LR
+    )
+    gvars, assigns = ref.assign_params_ops(tf1, params_np, name_map)
+    tf_losses, tf_step1 = [], None
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())
+        sess.run(assigns)
+        for i, frame in enumerate(frames):
+            feed = {ph[k]: frame[k] for k in ph}
+            fl, _ = sess.run([tf_loss, train_op], feed_dict=feed)
+            tf_losses.append(fl)
+            if i == 0:
+                tf_step1 = dict(zip([v.name[:-2] for v in gvars], sess.run(gvars)))
+
+    loss_fn = get_supervised_loss("mean_l1", multiScale=True, max_disp=192)
+
+    @jax.jit
+    def step(p, opt, batch):
+        def compute(p_):
+            out = model.forward(p_, batch["left"], batch["right"])
+            return loss_fn(out["disparities"], batch)
+
+        loss, grads = jax.value_and_grad(compute)(p)
+        p2, opt2 = optim.adam_update(p, opt, grads, LR)
+        return p2, opt2, loss
+
+    p = jax.tree_util.tree_map(jnp.asarray, params_np)
+    opt = optim.adam_init(p)
+    our_losses, our_step1 = [], None
+    for i, frame in enumerate(frames):
+        jf = {k: jnp.asarray(v) for k, v in frame.items()}
+        p, opt, loss = step(p, opt, jf)
+        our_losses.append(float(loss))
+        if i == 0:
+            our_step1 = jax.tree_util.tree_map(np.asarray, p)
+
+    np.testing.assert_allclose(
+        our_losses[:2], tf_losses[:2], rtol=2e-4, atol=1e-6,
+        err_msg="first-step supervised loss/update diverged",
+    )
+    np.testing.assert_allclose(our_losses, tf_losses, rtol=2e-2, atol=1e-5)
+    _assert_param_deltas_match(
+        tf_step1, params_np, our_step1, name_map, tol=5e-3,
+        # Adam near-zero-gradient sign flips (see _run_parity delta_kw)
+        allow_frac=0.05, abs_cap=2.5 * LR,
+    )
+
+
+def test_mad_two_block_adaptation_step_matches_reference():
+    """--numBlocks 2 golden parity: each step runs TWO per-block train
+    ops in one reference sess.run (all gradients at the same pre-step
+    weights, Stereo_Online_Adaptation.py:185,201-208) vs our one-shot
+    adapt_blocks step. Covers every block across the 3 steps."""
+    _run_parity(
+        "MAD", "reprojection", block_seq=[(0, 3), (1, 4), (2, 4)],
+        # the step-1 deltas are the discriminating assertion (kept at the
+        # tight 5e-3): sequential-apply semantics would move block 3 with
+        # gradients taken AFTER block 0's update and fail there. The
+        # 3-step accumulated deltas get a wider chaos bound — training
+        # two blocks per frame doubles the update count on the shared
+        # pyramid convs, compounding fp32 summation-order noise faster
+        # than the single-block trajectory (measured ~1.3e-2 rel drift).
+        final_tol=3e-2,
+    )
