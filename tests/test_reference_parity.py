@@ -74,6 +74,55 @@ def test_dispnet_forward_matches_reference():
     _run_parity("Dispnet", get_stereo_net("Dispnet", corr_mode="jnp"), tol=2e-4)
 
 
+@pytest.mark.parametrize("model_name", ["MADNet", "Dispnet"])
+def test_tf1_converter_closure_on_reference_checkpoint(model_name, tmp_path):
+    """Converter closure WITHOUT the synthetic-name circularity: the
+    checkpoint is written by tf1.train.Saver from the *reference-built*
+    graph (its own variable scopes and TF-side Xavier init values — we
+    construct none of the names), imported via tf1_checkpoint_to_params,
+    and the imported weights must reproduce the reference forward. This
+    is the exact pipeline a user of the published Google-Drive
+    checkpoints exercises (README.MD:46-47, weights_utils.py:4-38),
+    minus only the download."""
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+    from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
+        tf1_checkpoint_to_params,
+    )
+
+    tf1 = ref.load_tf1()
+    tf1.reset_default_graph()
+    left_ph = tf1.placeholder(tf1.float32, [1, H, W, 3])
+    right_ph = tf1.placeholder(tf1.float32, [1, H, W, 3])
+    snet = ref.build_reference_net(tf1, model_name, left_ph, right_ph)
+    preds = snet.get_disparities()
+
+    rng = np.random.default_rng(11)
+    l = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    r = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    saver = tf1.train.Saver()
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())  # TF's own init values
+        tf_out = sess.run(preds, feed_dict={left_ph: l, right_ph: r})
+        ckpt = saver.save(sess, str(tmp_path / "ref_model.ckpt"))
+
+    jax_model = get_stereo_net(model_name, corr_mode="jnp")
+    base = jax_model.init(jax.random.PRNGKey(0))
+    imported, n = tf1_checkpoint_to_params(ckpt, jax_model, base)
+    assert n == len(jax_model.tf_name_map()), "importer missed variables"
+
+    ours = jax.jit(jax_model.forward)(
+        imported, jnp.asarray(l), jnp.asarray(r)
+    )["disparities"]
+    assert len(tf_out) == len(ours)
+    for i, (a, b) in enumerate(zip(tf_out, ours)):
+        b = np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(
+            a, b, atol=2e-4 * scale, rtol=0,
+            err_msg=f"disparity {i} mismatch with imported reference weights",
+        )
+
+
 def test_correlation_matches_reference_tf():
     tf1 = ref.load_tf1()
     tf1.reset_default_graph()
