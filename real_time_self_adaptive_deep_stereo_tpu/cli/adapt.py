@@ -219,6 +219,7 @@ def _run_fused(args, engine, params, dataset, max_steps):
         "fps": stats.fps,
         "avg_epe": float(np.mean(stats.epe)) if stats.epe else float("nan"),
         "avg_bad3": float(np.mean(stats.bad3)) if stats.bad3 else float("nan"),
+        "avg_d1": float(np.mean(stats.d1)) if stats.d1 else float("nan"),
         "resets": stats.reset_counter,
     }
 
@@ -288,6 +289,7 @@ def _run_host(args, engine, params, dataset, max_steps):
         "fps": stats.fps,
         "avg_epe": float(np.mean(stats.epe)) if stats.epe else float("nan"),
         "avg_bad3": float(np.mean(stats.bad3)) if stats.bad3 else float("nan"),
+        "avg_d1": float(np.mean(stats.d1)) if stats.d1 else float("nan"),
         "resets": stats.reset_counter,
     }
 

@@ -36,7 +36,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true")
     p.add_argument("--lossWeights", type=float, nargs="+", default=None)
     p.add_argument("--lossType", default="mean_l1", choices=list(SUPERVISED_LOSS))
-    p.add_argument("--decayStep", type=int, default=500000)
+    p.add_argument(
+        "--decayStep",
+        type=int,
+        default=500000,
+        help="reference-compat NO-OP: the reference computes a decayed lr "
+        "from this but feeds Adam the raw --lr anyway (Train.py:94-95); "
+        "kept so reference command lines parse, warns when set",
+    )
     p.add_argument("--ckptEvery", type=int, default=10000)
     p.add_argument("--dataParallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -51,6 +58,13 @@ MAX_DISP = 192  # supervised clip (reference static param, Train.py:20)
 def main(args) -> dict:
     import jax
     import jax.numpy as jnp
+
+    if getattr(args, "decayStep", 500000) != 500000:
+        print(
+            "WARNING: --decayStep has no effect — matching the reference, "
+            "which computes the decayed lr but passes the raw --lr to Adam "
+            "(Train.py:94-95)."
+        )
 
     from real_time_self_adaptive_deep_stereo_tpu.adapt.engine import disparity_metrics
     from real_time_self_adaptive_deep_stereo_tpu.data import (

@@ -174,7 +174,13 @@ def SSIM(x, y):
     return jnp.clip((1.0 - n / d) / 2.0, 0.0, 1.0)
 
 
-def ssim_l1(x, y, alpha=0.85):
+# the SSIM/L1 mix of mean_SSIM_l1 (Losses/loss_factory.py:160). ONE
+# constant shared by ssim_l1, mean_SSIM_L1 AND the flat fast path in
+# get_reprojection_loss so the two layouts cannot silently diverge.
+SSIM_ALPHA = 0.85
+
+
+def ssim_l1(x, y, alpha=SSIM_ALPHA):
     ss = jnp.pad(SSIM(x, y), ((0, 0), (1, 1), (1, 1), (0, 0)))
     return alpha * ss + (1 - alpha) * l1(x, y)
 
@@ -186,7 +192,7 @@ def mean_SSIM(x, y):
 def mean_SSIM_L1(x, y):
     xf, yf = _flat(x), _flat(y)
     ss = _ssim_mean_flat(xf, yf, x.shape[-1])
-    return 0.85 * ss + 0.15 * jnp.mean(jnp.abs(xf - yf))
+    return SSIM_ALPHA * ss + (1 - SSIM_ALPHA) * jnp.mean(jnp.abs(xf - yf))
 
 
 def sign_and_elementwise(x, y):
@@ -401,9 +407,9 @@ def get_reprojection_loss(
                 wf = warp_image_onehot_flat(right, resized, warp_max_disp)
                 lf = _flat(left)
                 c = left.shape[-1]
-                loss_i = 0.85 * _ssim_mean_flat(wf, lf, c) + 0.15 * jnp.mean(
-                    jnp.abs(wf - lf)
-                )
+                loss_i = SSIM_ALPHA * _ssim_mean_flat(wf, lf, c) + (
+                    1 - SSIM_ALPHA
+                ) * jnp.mean(jnp.abs(wf - lf))
                 acc.append(weights[i] * loss_i)
             else:
                 reproj = _warp(right, resized)

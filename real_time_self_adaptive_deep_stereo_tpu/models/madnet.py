@@ -168,8 +168,12 @@ class MADNet:
         return disp + x
 
     def _make_disp(self, v: jnp.ndarray, hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
-        """relu(-20*V) upsampled to padded res, cropped back (MadNet.py:68-71)."""
-        d = resize_bilinear(jax.nn.relu(v * -20.0), hp, wp)
+        """relu(-20*V) upsampled to padded res, cropped back (MadNet.py:68-71).
+
+        Always emits fp32: under the 'bf16_act' conv mode the internal
+        activations are bfloat16, but the disparity heads (loss/metric
+        inputs) stay full precision."""
+        d = resize_bilinear(jax.nn.relu(v.astype(jnp.float32) * -20.0), hp, wp)
         return crop_or_pad(d, h, w)
 
     def extract_features(
@@ -251,7 +255,7 @@ class MADNet:
             v = self._context(params["context"], last_left, v)
         disparities.append(self._make_disp(v, hp, wp, h, w))
 
-        rescaled = jax.nn.relu(resize_bilinear(v, hp, wp) * -20.0)
+        rescaled = jax.nn.relu(resize_bilinear(v.astype(jnp.float32), hp, wp) * -20.0)
         full_res = crop_or_pad(rescaled, h, w)
         disparities.append(full_res)
         return {"disparities": disparities, "full_res_disp": full_res}

@@ -76,18 +76,26 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # through bf16 before the fp32 bias+activation epilogue. (The output
 # cast — rather than preferred_element_type=f32 — keeps the conv VJP
 # dtypes consistent: an f32 cotangent against bf16 weights is rejected
-# by lax.)
+# by lax.) 'bf16_act' goes one step further: the bias+activation
+# epilogue ALSO computes and stores in bfloat16, so the activation
+# tensors flowing BETWEEN convs (the dominant remaining HBM traffic at
+# batch 1, docs/ROADMAP.md round-3 item 1) are half-width end-to-end;
+# model outputs cast back to fp32 at the disparity heads.
 _CONV_PRECISION = jax.lax.Precision.HIGHEST
 _CONV_BF16 = False
+_CONV_ACT_BF16 = False
 
 
 def set_conv_precision(p) -> None:
-    """Set global conv precision ('highest' | 'default' | 'bf16' | Precision)."""
-    global _CONV_PRECISION, _CONV_BF16
+    """Set global conv precision
+    ('highest' | 'default' | 'bf16' | 'bf16_act' | Precision)."""
+    global _CONV_PRECISION, _CONV_BF16, _CONV_ACT_BF16
     _CONV_BF16 = False
+    _CONV_ACT_BF16 = False
     if isinstance(p, str):
-        if p == "bf16":
+        if p in ("bf16", "bf16_act"):
             _CONV_BF16 = True
+            _CONV_ACT_BF16 = p == "bf16_act"
             _CONV_PRECISION = jax.lax.Precision.DEFAULT
             return
         p = {"highest": jax.lax.Precision.HIGHEST, "default": jax.lax.Precision.DEFAULT}[p]
@@ -99,6 +107,11 @@ def _operands(x: jnp.ndarray, w: jnp.ndarray):
     if _CONV_BF16:
         return x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
     return x, w.astype(x.dtype)
+
+
+def _epilogue_dtype(x: jnp.ndarray):
+    """dtype of the bias+activation epilogue (and thus the conv output)."""
+    return jnp.bfloat16 if _CONV_ACT_BF16 else x.dtype
 
 
 def conv2d(
@@ -117,7 +130,8 @@ def conv2d(
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
     )
-    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
+    dt = _epilogue_dtype(x)
+    return activation(y.astype(dt) + params["b"].astype(dt))
 
 
 def dilated_conv2d(
@@ -137,7 +151,8 @@ def dilated_conv2d(
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
     )
-    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
+    dt = _epilogue_dtype(x)
+    return activation(y.astype(dt) + params["b"].astype(dt))
 
 
 def conv2d_transpose(
@@ -171,7 +186,8 @@ def conv2d_transpose(
         dimension_numbers=_DN,
         precision=_CONV_PRECISION,
     )
-    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
+    dt = _epilogue_dtype(x)
+    return activation(y.astype(dt) + params["b"].astype(dt))
 
 
 def depthwise_conv(
@@ -194,7 +210,8 @@ def depthwise_conv(
         feature_group_count=c_in,
         precision=_CONV_PRECISION,
     )
-    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
+    dt = _epilogue_dtype(x)
+    return activation(y.astype(dt) + params["b"].astype(dt))
 
 
 def separable_conv2d(
@@ -237,7 +254,8 @@ def grouped_conv2d(
         feature_group_count=num_groups,
         precision=_CONV_PRECISION,
     )
-    return activation(y.astype(x.dtype) + params["b"].astype(x.dtype))
+    dt = _epilogue_dtype(x)
+    return activation(y.astype(dt) + params["b"].astype(dt))
 
 
 def channel_shuffle_inside_group(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:

@@ -64,6 +64,13 @@ def resolve_warp_mode(mode: str) -> str:
     XLA fuses the onehot compare/select chain straight into the einsum.
     'mxu' stays available for standalone warping workloads.
 
+    Out-of-range semantics differ between modes: 'gather' extrapolates
+    via clamped bilinear sampling (the TF parity behaviour), while
+    'onehot'/'shift'/'mxu'/'pallas' clamp the sample coordinate to the
+    static [lo, hi] disparity window — e.g. negative disparities early
+    in adaptation resolve to the window edge, not the gather value. The
+    in-range results agree to float tolerance (selftests in bench.py).
+
     Uses the platform of the default device rather than
     ``jax.default_backend()`` (which can report an inactive plugin
     backend when JAX_PLATFORMS restricts to cpu)."""

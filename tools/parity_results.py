@@ -219,7 +219,7 @@ def main_drift(args):
     for mode in ("NONE", "MAD", "FULL"):
         exact, r1 = run_our_loop(mode, seq, params_np, fast=False)
         lines.append(fmt_row(f"exact {mode}", exact, r1))
-        for prec in ("default", "bf16"):
+        for prec in ("default", "bf16", "bf16_act"):
             fast, r2 = run_our_loop(mode, seq, params_np, fast=True, precision=prec)
             lines.append(fmt_row(f"fast/{prec} {mode}", fast, r2))
             d = fast.mean(axis=0) - exact.mean(axis=0)
