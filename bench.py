@@ -199,6 +199,11 @@ def main() -> None:
             for f in frames
         ]
 
+    # BENCH_CHUNK=K: dispatch K frames per program via step_chunk
+    # (lax.scan) — amortizes the ~0.3 ms/dispatch host cost; identical
+    # adaptation trajectory, K-1 frames extra latency (throughput mode)
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+
     def time_session(sess, fr, iters, passes):
         """Warm up then time `passes` full passes; returns per-pass FPS.
 
@@ -214,18 +219,30 @@ def main() -> None:
         see the methodology. Device traces (tools/profile_mad.py)
         corroborate the per-step device time.
         """
-        for i in range(WARMUP):
-            sess.step(fr[i % len(fr)])
+        if chunk:
+            stacked = {
+                k: jnp.stack([fr[i % len(fr)][k] for i in range(chunk)])
+                for k in fr[0]
+            }
+            dispatch = lambda i: sess.step_chunk(stacked)  # noqa: E731
+            n_calls = max(1, iters // chunk)
+            frames_per_pass = n_calls * chunk
+        else:
+            dispatch = lambda i: sess.step(fr[i % len(fr)])  # noqa: E731
+            n_calls = iters
+            frames_per_pass = iters
+        for i in range(max(1, WARMUP // max(chunk, 1))):
+            dispatch(i)
         sess.block_until_ready()
         per_pass = []
         for _ in range(passes):
             t0 = time.perf_counter()
-            for i in range(iters):
-                sess.step(fr[i % len(fr)])
+            for i in range(n_calls):
+                dispatch(i)
             sess.block_until_ready()
             dt = time.perf_counter() - t0
-            per_pass.append(iters / dt)
-            print(f"# pass: {iters / dt:.2f} FPS", file=sys.stderr, flush=True)
+            per_pass.append(frames_per_pass / dt)
+            print(f"# pass: {frames_per_pass / dt:.2f} FPS", file=sys.stderr, flush=True)
         return per_pass
 
     def step_tflops(sess, fr) -> float:

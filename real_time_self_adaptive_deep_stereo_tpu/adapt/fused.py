@@ -165,6 +165,7 @@ class FusedOnlineSession:
         self.spec = build_arena(params, engine.blocks) if arena else None
         self.state = self._init_state(params, seed)
         self.last_disp = None  # async device array after each step()
+        self._chunk_fn = None  # built lazily by step_chunk
         self._step_fn = self._build_step()
         if arena:
             unravel = (
@@ -566,6 +567,10 @@ class FusedOnlineSession:
             }
             return new_state, disp
 
+        # keep the traceable step for the chunked-dispatch mode
+        # (step_chunk scans it over a [K]-frame axis in one program)
+        self._raw_step = step
+
         if self.num_streams:
             # N independent streams in one program: per-stream state and
             # frames carry a leading stream axis; params0 (closure
@@ -616,6 +621,46 @@ class FusedOnlineSession:
         :135-136,246-251) can ``jax.device_get`` it at their own
         cadence without forcing a sync on every frame."""
         self.state, self.last_disp = self._step_fn(self.state, frame)
+
+    def step_chunk(self, frames: Dict) -> None:
+        """Async: dispatches K frames in ONE program (lax.scan over the
+        fused step; the frames pytree carries a leading [K] axis).
+
+        The per-dispatch host cost (~0.3 ms on this runtime — enqueue,
+        argument parsing, done-event plumbing) caps a 2.3 ms device step
+        at ~390 FPS when paid per frame; scanning K frames per dispatch
+        amortizes it K-fold. The adaptation trajectory is IDENTICAL to K
+        sequential ``step`` calls (scan is sequential); the tradeoff is
+        K-1 frames of extra pipeline latency, so this is the
+        throughput-serving mode. ``last_disp`` holds the [K] stacked
+        disparities.
+
+        Multi-stream sessions chunk too: pass frames with a leading
+        [K, num_streams] prefix; each scan iteration runs one frame of
+        every stream (same per-iteration composition as ``step``), so
+        one dispatch advances K*N frames.
+        """
+        if self._chunk_fn is None:
+            if self.mesh is not None:
+                raise ValueError(
+                    "step_chunk is a single-chip dispatch optimization; "
+                    "mesh sessions amortize dispatch differently"
+                )
+            raw = self._raw_step
+            if self.num_streams and self.stream_impl == "map":
+                base = lambda st, fr: jax.lax.map(  # noqa: E731
+                    lambda sf: raw(sf[0], sf[1]), (st, fr)
+                )
+            elif self.num_streams:
+                base = jax.vmap(raw)
+            else:
+                base = raw
+            self._chunk_fn = jax.jit(
+                lambda state, fr: jax.lax.scan(base, state, fr),
+                donate_argnums=(0,),
+            )
+        self.state, disps = self._chunk_fn(self.state, frames)
+        self.last_disp = disps
 
     def finalize(self) -> Dict[str, np.ndarray]:
         """Block + transfer the accumulated statistics (one sync).

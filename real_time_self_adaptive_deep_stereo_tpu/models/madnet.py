@@ -241,10 +241,16 @@ class MADNet:
                         )
                     else:
                         rf = warp_features_horizontal(rf, u)
+                    # warping computes sub-pixel weights from the fp32
+                    # disparity chain and may promote; the cost volume
+                    # stays in the feature dtype (bf16 under 'bf16_act'
+                    # — the DEFAULT-precision convs would cast their
+                    # operands to bf16 anyway, so this loses nothing)
+                    rf = rf.astype(lf.dtype)
             corr = correlation(lf, rf, self.radius_d, self.stride, mode=self.corr_mode)
-            volume = jnp.concatenate([lf, corr], axis=-1)
+            volume = jnp.concatenate([lf, corr.astype(lf.dtype)], axis=-1)
             if u is not None:
-                volume = jnp.concatenate([volume, u], axis=-1)
+                volume = jnp.concatenate([volume, u.astype(lf.dtype)], axis=-1)
             v = self._estimator(params[f"estimator_{k}"], volume)
             if k > 2:
                 disparities.append(self._make_disp(v, hp, wp, h, w))

@@ -51,11 +51,15 @@ def correlation_jnp(
 
 
 def _corr_fwd_kernel(x_ref, ypad_ref, out_ref, *, max_disp: int, width: int):
-    x = x_ref[...]  # [1, TH, W, C]
+    # accumulate the C-reduction in fp32 even for bf16 activations
+    # (bf16_act conv mode); the store casts back to the output dtype
+    x = x_ref[...].astype(jnp.float32)  # [1, TH, W, C]
     inv_c = 1.0 / x.shape[-1]
     for k in range(2 * max_disp + 1):
-        win = ypad_ref[:, :, k : k + width, :]
-        out_ref[:, :, :, k] = jnp.sum(win * x, axis=-1) * inv_c
+        win = ypad_ref[:, :, k : k + width, :].astype(jnp.float32)
+        out_ref[:, :, :, k] = (jnp.sum(win * x, axis=-1) * inv_c).astype(
+            out_ref.dtype
+        )
 
 
 def _pick_row_tile(h: int, w: int, c: int, max_disp: int) -> int:
@@ -118,6 +122,10 @@ def _corr_pallas_bwd(max_disp, interpret, res, g):
     """
     x, y = res
     b, h, w, c = x.shape
+    # a downstream promotion (e.g. a concat with fp32) can hand back a
+    # wider cotangent than the bf16 primals; custom_vjp requires exact
+    # dtype agreement, so mirror the primal dtype
+    g = g.astype(x.dtype)
     inv_c = 1.0 / c
     ypad = jnp.pad(y, ((0, 0), (0, 0), (max_disp, max_disp), (0, 0)))
     gpad = jnp.pad(g, ((0, 0), (0, 0), (max_disp, max_disp), (0, 0)))

@@ -37,8 +37,16 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def summarize_trace(logdir: str, top: int = 30) -> List[Tuple[str, int, float]]:
-    """Aggregate trace events by op family.
+def summarize_trace(
+    logdir: str, top: int = 30, track: str = "XLA Ops"
+) -> List[Tuple[str, int, float]]:
+    """Aggregate DEVICE-track trace events by op family.
+
+    Only events on a ``/device:*`` process's ``track`` thread (default
+    the per-op "XLA Ops" track) are counted — host python spans and the
+    per-program "XLA Modules" spans would double-count every device op
+    (host launch + module + op all overlap in wall time). Pass
+    ``track="XLA Modules"`` for whole-program device times instead.
 
     Returns [(name, count, total_ms)] sorted by total time — the tool
     used to find that warps/reduce-windows dominated the adaptation step.
@@ -47,8 +55,23 @@ def summarize_trace(logdir: str, top: int = 30) -> List[Tuple[str, int, float]]:
     for f in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
-        for e in data.get("traceEvents", []):
-            if e.get("ph") == "X" and "dur" in e:
+        events = data.get("traceEvents", [])
+        dev_pids = set()
+        track_tids = set()
+        for e in events:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                if str(e.get("args", {}).get("name", "")).startswith("/device:"):
+                    dev_pids.add(e.get("pid"))
+        for e in events:
+            if e.get("ph") == "M" and e.get("name") == "thread_name":
+                if e.get("pid") in dev_pids and e.get("args", {}).get("name") == track:
+                    track_tids.add((e.get("pid"), e.get("tid")))
+        for e in events:
+            if (
+                e.get("ph") == "X"
+                and "dur" in e
+                and (e.get("pid"), e.get("tid")) in track_tids
+            ):
                 name = e.get("name", "?")
                 if name.startswith("$") or "Pjit" in name:
                     continue

@@ -235,6 +235,78 @@ def test_fused_session_matches_host_session(madnet_setup, shared_forward):
     )
 
 
+def test_step_chunk_matches_sequential_steps(madnet_setup):
+    """step_chunk(K frames) must reproduce EXACTLY the trajectory of K
+    sequential step() calls (lax.scan over the same traced step fn) —
+    the chunked mode only amortizes host dispatch, never changes
+    semantics."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(4)]
+    cp = lambda: jax.tree_util.tree_map(lambda x: x.copy(), params)  # noqa: E731
+    kw = dict(mode="MAD", sample_mode="SEQUENTIAL", ssim_th=1e9, max_steps=8, seed=0)
+
+    seq = FusedOnlineSession(eng, cp(), **kw)
+    for f in frames:
+        seq.step(f)
+    last_seq = np.asarray(jax.device_get(seq.last_disp))
+    seq_stats = seq.finalize()
+
+    chunked = FusedOnlineSession(eng, cp(), **kw)
+    stacked = {k: jnp.stack([f[k] for f in frames]) for k in frames[0]}
+    chunked.step_chunk(stacked)
+    last_chunk = np.asarray(jax.device_get(chunked.last_disp))
+    chunk_stats = chunked.finalize()
+
+    assert last_chunk.shape[0] == 4
+    np.testing.assert_allclose(last_chunk[-1], last_seq, rtol=1e-5, atol=1e-5)
+    for k in ("loss", "epe", "d1", "scores"):
+        np.testing.assert_allclose(
+            chunk_stats[k], seq_stats[k], rtol=1e-5, atol=1e-6
+        )
+    assert list(chunk_stats["fetch_counter"]) == list(seq_stats["fetch_counter"])
+
+
+def test_step_chunk_matches_sequential_steps_multistream(madnet_setup):
+    """Chunked dispatch for the multi-stream serving mode: scanning K
+    [N,...] frames must equal K sequential stream steps (same lax.map
+    per-iteration composition — one program advances K*N frames)."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    N, K = 2, 3
+    frames = [
+        {k: jnp.stack([v, v * 0.9], axis=0) for k, v in _frame().items()}
+        for _ in range(K)
+    ]  # stream axis prepended: [N, 1, H, W, C]
+    cp = lambda: jax.tree_util.tree_map(lambda x: x.copy(), params)  # noqa: E731
+    kw = dict(
+        mode="MAD", sample_mode="SEQUENTIAL", ssim_th=1e9, max_steps=8,
+        seed=0, num_streams=N,
+    )
+
+    seq = FusedOnlineSession(eng, cp(), **kw)
+    for f in frames:
+        seq.step(f)
+    seq_stats = seq.finalize()
+
+    chunked = FusedOnlineSession(eng, cp(), **kw)
+    stacked = {k: jnp.stack([f[k] for f in frames]) for k in frames[0]}
+    chunked.step_chunk(stacked)
+    chunk_stats = chunked.finalize()
+
+    assert np.asarray(jax.device_get(chunked.last_disp)).shape[:2] == (K, N)
+    for k in ("loss", "epe", "d1"):
+        np.testing.assert_allclose(
+            chunk_stats[k], seq_stats[k], rtol=1e-5, atol=1e-6
+        )
+
+
 def test_multi_block_one_shot_semantics(madnet_setup):
     """adapt_blocks([k0,k1]) must equal: gradients of BOTH blocks taken
     at the same pre-step params, disjoint updates applied together (the

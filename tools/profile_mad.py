@@ -88,6 +88,10 @@ def main():
         session.step(frames[i % 4])
     session.block_until_ready()
 
+    # a stale logdir mixes old runs' modules into the summary
+    import shutil
+
+    shutil.rmtree(args.logdir, ignore_errors=True)
     t0 = time.perf_counter()
     with trace(args.logdir):
         for i in range(args.steps):
@@ -98,7 +102,10 @@ def main():
     print(f"\n{args.steps} steps in {dt*1e3:.1f} ms -> {dt/args.steps*1e3:.2f} ms/step "
           f"({args.steps/dt:.1f} FPS)  mode={args.mode} shared={args.shared} "
           f"arena={not args.no_arena}")
-    print(f"{'op family':<48}{'count':>8}{'total ms':>12}{'ms/step':>10}")
+    mods = summarize_trace(args.logdir, top=5, track="XLA Modules")
+    for name, count, ms in mods:
+        print(f"device program {name}: {count} execs, {ms/max(count,1):.3f} ms each")
+    print(f"{'op family (device XLA Ops track)':<48}{'count':>8}{'total ms':>12}{'ms/step':>10}")
     for name, count, ms in summarize_trace(args.logdir, top=args.top):
         print(f"{name:<48}{count:>8}{ms:>12.2f}{ms/args.steps:>10.3f}")
 
