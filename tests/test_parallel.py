@@ -109,6 +109,70 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
+def test_spatial_step_collective_audit(model_and_params):
+    """HLO-level audit of the width-sharded adaptation step: the conv
+    pipeline must be partitioned with bounded halo exchanges
+    (collective-permute), NEVER by all-gathering the full width.
+
+    Measured profile on the 8-device mesh (this test pins it):
+    - convs: collective-permute halos only (hundreds of them, one per
+      conv edge per direction) — zero conv-attributed all-gathers;
+    - TF1-legacy resize (dense [out_w,in_w] einsum, ops/resize.py):
+      GSPMD keeps the dot shard-local over the contracted (sharded)
+      input width and all-reduces the *output* — for disparity maps
+      (C=1) that is a tiny [1,H,1,W_out] tensor, NOT a frame
+      replication (the concern raised in round 2's review);
+    - the only all-gathers are the dynamic-disparity warps
+      (take_along_axis and its scatter-add VJP): a W-gather by an
+      unbounded dynamic index fundamentally needs the full source
+      width unless disparity-bound halos are hand-written with
+      shard_map. Their total traffic is small (feature maps at pyramid
+      levels, ~a few MB/step at full res, ~100us-class on ICI vs a
+      multi-ms step) — documented ceiling, not a perf bug.
+    """
+    model, params = model_and_params
+    # realistic proportions matter: every level's halo (3x3 convs, the
+    # context net's dilation-16) must fit inside one shard's width or
+    # GSPMD rightfully falls back to all-gather. 192x640/8 shards keeps
+    # the quarter-res context net at shard width 20 > halo 16 (at the
+    # tiny 64x128 equivalence-test size the audit would false-positive).
+    Ha, Wa = 192, 640
+    frame = {
+        "left": rng.random((1, Ha, Wa, 3)).astype(np.float32) * 255,
+        "right": rng.random((1, Ha, Wa, 3)).astype(np.float32) * 255,
+        "target": rng.random((1, Ha, Wa, 1)).astype(np.float32) * 60,
+    }
+    mesh = make_mesh(8)
+    step = make_spatial_adapt_step(model, mesh, lr=1e-4)
+    lowered = step.lower(
+        params, optim.momentum_init(params), shard_batch(frame, width_sharded(mesh))
+    )
+    txt = lowered.compile().as_text()
+
+    import re
+
+    # halo exchange is present on the conv path
+    assert txt.count("collective-permute(") > 50
+
+    gathers = [
+        ln for ln in txt.splitlines() if re.search(r"= \S+ all-gather\(", ln)
+    ]
+    for ln in gathers:
+        m = re.search(r'metadata={op_name="([^"]*)"', ln)
+        src = m.group(1) if m else ""
+        # every all-gather must come from a dynamic-index warp (gather /
+        # scatter-add VJP) or the final W-resize of the C=1 disparity —
+        # NEVER from a convolution
+        assert "conv" not in src.lower(), f"conv all-gathered full width: {ln[:160]}"
+        assert (
+            "take_along_axis" in src or "bhwc,wo->bhco" in src
+        ), f"unexpected all-gather source {src!r}: {ln[:160]}"
+    # the count is structural (5 warp levels + 2 scatter-add VJPs + 1
+    # disparity resize); allow slack for XLA version drift but flag a
+    # regression to frame replication
+    assert len(gathers) <= 12, f"{len(gathers)} all-gathers (expected ~8)"
+
+
 def test_mad_fused_step_under_mesh_matches_single_device(model_and_params):
     """The flagship fused MAD step (lax.switch + subtree update + reward
     controller) compiled under GSPMD with the frame width-sharded must
