@@ -307,6 +307,63 @@ def test_step_chunk_matches_sequential_steps_multistream(madnet_setup):
         )
 
 
+def test_stochastic_samplers_distribution_equivalence():
+    """Host (numpy) and fused (Gumbel top-k) PROBABILITY/RANDOM samplers
+    are trajectory-independent by design; this pins their DISTRIBUTIONS
+    to the same law (round-2 review: equivalence was only ever tested
+    via the deterministic SEQUENTIAL/FIXED modes).
+
+    Chi-square each against the exact categorical law at alpha=0.001
+    (df=3 crit 16.27): num_blocks=1 PROBABILITY ~ softmax(scores),
+    RANDOM ~ uniform; and for num_blocks=2 the first-pick marginals of
+    Plackett-Luce (numpy draw-renormalize == Gumbel top-k order).
+    """
+    from types import SimpleNamespace
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.samplers import (
+        get_sampler,
+        softmax,
+    )
+
+    n, draws, crit = 4, 4000, 16.27
+    scores = np.array([0.1, 1.2, -0.4, 0.6], np.float32)
+    probs = softmax(scores)
+
+    def chi2(counts, p):
+        exp = p * counts.sum()
+        return float(((counts - exp) ** 2 / exp).sum())
+
+    def device_counts(mode, m, seed):
+        stub = SimpleNamespace(
+            n_actions=n, num_blocks=m, sample_mode=mode,
+            fixed_id=0, sample_frequency=1,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(seed), draws)
+        ids = jax.vmap(
+            lambda k: FusedOnlineSession._sample(
+                stub, jnp.asarray(scores), k, jnp.asarray(0)
+            )
+        )(keys)
+        first = np.asarray(ids)[:, 0]
+        return np.bincount(first, minlength=n).astype(np.float64)
+
+    def host_counts(mode, m, seed):
+        s = get_sampler(mode, m, seed=seed)
+        dist = probs if mode == "PROBABILITY" else scores
+        first = [s.sample(dist)[0] for _ in range(draws)]
+        return np.bincount(np.asarray(first), minlength=n).astype(np.float64)
+
+    uniform = np.full(n, 1.0 / n)
+    for m in (1, 2):
+        assert chi2(device_counts("PROBABILITY", m, 7), probs) < crit
+        assert chi2(host_counts("PROBABILITY", m, 7), probs) < crit
+        assert chi2(device_counts("RANDOM", m, 11), uniform) < crit
+        assert chi2(host_counts("RANDOM", m, 11), uniform) < crit
+
+
 def test_multi_block_one_shot_semantics(madnet_setup):
     """adapt_blocks([k0,k1]) must equal: gradients of BOTH blocks taken
     at the same pre-step params, disjoint updates applied together (the
