@@ -307,6 +307,33 @@ def test_step_chunk_matches_sequential_steps_multistream(madnet_setup):
         )
 
 
+def test_bf16_act_forward_drift_bounded(madnet_setup):
+    """'bf16_act' (bfloat16 activations BETWEEN convs, the
+    HBM-bandwidth serving mode) must keep the full-resolution disparity
+    in fp32 at the head and within bf16-mantissa-class drift of the
+    fp32-exact forward. End-to-end D1 drift on the adaptation loop is
+    tracked in PARITY_RESULTS.md; this is the in-CI guard."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops.conv import (
+        set_conv_precision,
+    )
+
+    net, params, _, _ = madnet_setup
+    f = _frame()
+    want = np.asarray(net.forward(params, f["left"], f["right"])["full_res_disp"])
+    try:
+        set_conv_precision("bf16_act")
+        got_arr = net.forward(params, f["left"], f["right"])["full_res_disp"]
+    finally:
+        set_conv_precision("highest")
+    assert got_arr.dtype == jnp.float32
+    got = np.asarray(got_arr)
+    # disparities at random init are O(1); the refinement cascade
+    # amplifies bf16 rounding ~10x past single-conv tolerance
+    denom = np.maximum(np.abs(want), 1.0)
+    assert float(np.median(np.abs(got - want) / denom)) < 0.05
+    assert np.isfinite(got).all()
+
+
 def test_stochastic_samplers_distribution_equivalence():
     """Host (numpy) and fused (Gumbel top-k) PROBABILITY/RANDOM samplers
     are trajectory-independent by design; this pins their DISTRIBUTIONS
