@@ -58,6 +58,15 @@ def build_argparser() -> argparse.ArgumentParser:
         "with per-frame logging. auto picks fused unless per-frame "
         "artifacts were requested.",
     )
+    p.add_argument(
+        "--chunk",
+        type=int,
+        default=1,
+        help="fused sessions only: dispatch K frames per XLA program "
+        "(lax.scan) — identical adaptation trajectory, K-1 frames of "
+        "extra latency, amortizes per-dispatch host cost (throughput "
+        "serving mode). Ignored when per-frame artifacts are requested.",
+    )
     return p
 
 
@@ -166,27 +175,49 @@ def _run_fused(args, engine, params, dataset, max_steps):
 
     writer = _make_summary_writer(args.output) if args.summary else None
 
+    chunk = getattr(args, "chunk", 1)
+    if chunk > 1 and (args.logDispStep != -1 or args.summary):
+        print("# --chunk ignored: per-frame artifacts requested", flush=True)
+        chunk = 1
+
     t0 = _time.perf_counter()
     steps = 0
-    for frame in prefetch_to_device(iter(dataset), size=2):
-        session.step(frame)
-        # per-stride artifacts: fetching last_disp syncs, so it happens
-        # only every logDispStep / 100 frames (reference cadence,
-        # Stereo_Online_Adaptation.py:135-136,246-251)
-        if args.logDispStep != -1 and steps % args.logDispStep == 0:
-            save_disparity_png(
-                os.path.join(args.output, "disparities", f"disparity_{steps}.png"),
-                np.asarray(_jax.device_get(session.last_disp))[0],
-                MAX_DISP,
-            )
-        if writer is not None and steps % 100 == 0:
-            _write_image_summaries(
-                writer,
-                steps,
-                np.asarray(_jax.device_get(session.last_disp))[0],
-                np.asarray(_jax.device_get(frame["target"]))[0],
-            )
-        steps += 1
+    if chunk > 1:
+        import jax.numpy as _jnp
+
+        buf = []
+        for frame in prefetch_to_device(iter(dataset), size=chunk + 1):
+            buf.append(frame)
+            if len(buf) == chunk:
+                session.step_chunk(
+                    {k: _jnp.stack([f[k] for f in buf]) for k in buf[0]}
+                )
+                buf = []
+            steps += 1
+        for frame in buf:  # tail shorter than K: per-frame dispatch
+            session.step(frame)
+    else:
+        for frame in prefetch_to_device(iter(dataset), size=2):
+            session.step(frame)
+            # per-stride artifacts: fetching last_disp syncs, so it happens
+            # only every logDispStep / 100 frames (reference cadence,
+            # Stereo_Online_Adaptation.py:135-136,246-251)
+            if args.logDispStep != -1 and steps % args.logDispStep == 0:
+                save_disparity_png(
+                    os.path.join(
+                        args.output, "disparities", f"disparity_{steps}.png"
+                    ),
+                    np.asarray(_jax.device_get(session.last_disp))[0],
+                    MAX_DISP,
+                )
+            if writer is not None and steps % 100 == 0:
+                _write_image_summaries(
+                    writer,
+                    steps,
+                    np.asarray(_jax.device_get(session.last_disp))[0],
+                    np.asarray(_jax.device_get(frame["target"]))[0],
+                )
+            steps += 1
     session.block_until_ready()
     exec_time = _time.perf_counter() - t0
     host = session.finalize()

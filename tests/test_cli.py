@@ -113,6 +113,45 @@ def test_adapt_cli_fused_emits_artifacts(tiny_dataset, initial_weights, tmp_path
     assert os.path.exists(os.path.join(out, "disparities", "disparity_2.png"))
 
 
+def test_adapt_cli_fused_chunked(tiny_dataset, initial_weights, tmp_path):
+    """--chunk K (fused throughput mode) scans K frames per dispatch:
+    same stats.csv/series.csv artifacts, same metric series as the
+    per-frame fused run (identical trajectory by construction)."""
+    from real_time_self_adaptive_deep_stereo_tpu.cli import adapt
+
+    def run(out, extra):
+        args = adapt.build_argparser().parse_args(
+            [
+                "-l", tiny_dataset,
+                "-o", out,
+                "--weights", initial_weights,
+                "--modelName", "MADNet",
+                "--blockConfig", "block_config/MadNet_full.json",
+                "--mode", "MAD",
+                "--imageShape", str(H), str(W),
+                "--sampleMode", "SEQUENTIAL",
+                "--corrMode", "jnp",
+                "--sessionMode", "fused",
+                "--seed", "0",
+            ]
+            + extra
+        )
+        os.makedirs(out, exist_ok=True)
+        return adapt.main(args)
+
+    plain = run(str(tmp_path / "plain"), [])
+    # 3 dataset frames, K=2: one chunked dispatch + one per-frame tail
+    chunked = run(str(tmp_path / "chunked"), ["--chunk", "2"])
+    assert np.isfinite(chunked["avg_epe"])
+    np.testing.assert_allclose(chunked["avg_epe"], plain["avg_epe"], rtol=1e-5)
+    np.testing.assert_allclose(chunked["avg_d1"], plain["avg_d1"], rtol=1e-5)
+    series = (
+        open(os.path.join(str(tmp_path / "chunked"), "series.csv"))
+        .read().strip().splitlines()
+    )
+    assert len(series) == 4  # header + 3 frames
+
+
 def test_adapt_continual_cli(tiny_dataset, initial_weights, tmp_path):
     from real_time_self_adaptive_deep_stereo_tpu.cli import adapt_continual
 
