@@ -179,6 +179,9 @@ def main() -> None:
         seed=0,
         shared_forward=os.environ.get("BENCH_SHARED", "0") != "0",
         num_streams=streams,
+        # BENCH_NO_METRICS=1: the GT-free production-serving contract
+        # (no EPE/D1/metrics buffer; NONE also drops the loss pipeline)
+        compute_metrics=os.environ.get("BENCH_NO_METRICS", "0") == "0",
     )
 
     rng = np.random.default_rng(0)
@@ -193,6 +196,8 @@ def main() -> None:
                 "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
             }
         )
+    if os.environ.get("BENCH_NO_METRICS", "0") != "0":
+        frames = [{k: v for k, v in f.items() if k != "target"} for f in frames]
     if streams:
         frames = [
             {k: jnp.broadcast_to(v, (streams,) + v.shape) for k, v in f.items()}
@@ -326,11 +331,51 @@ def main() -> None:
             flush=True,
         )
 
+    # latency pass (LAST: per-frame syncs degrade this tunneled runtime,
+    # docs/ROADMAP.md — nothing timed may run after it). Latency mode =
+    # dispatch one frame, wait for its disparity; p50/p99 are what a
+    # robot consumer of per-frame disparities actually experiences.
+    if bench_mode == "MAD" and not streams and not os.environ.get("BENCH_SKIP_LATENCY"):
+        lat_sess = FusedOnlineSession(
+            engine,
+            params,
+            mode="MAD",
+            sample_mode="PROBABILITY",
+            ssim_th=1e9,
+            max_steps=WARMUP + 64 + 8,
+            seed=0,
+        )
+        for i in range(WARMUP):
+            lat_sess.step(frames[i % 4])
+        lat_sess.block_until_ready()
+        lats = []
+        for i in range(64):
+            t0 = time.perf_counter()
+            lat_sess.step(frames[i % 4])
+            jax.device_get(lat_sess.last_disp)  # the consumer's wait
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats = np.sort(np.asarray(lats))
+        print(
+            json.dumps(
+                {
+                    "metric": "madnet_mad_frame_latency_384x1280",
+                    "p50_ms": round(float(lats[len(lats) // 2]), 2),
+                    "p99_ms": round(float(lats[int(len(lats) * 0.99)]), 2),
+                    "mean_ms": round(float(lats.mean()), 2),
+                    "unit": "ms (dispatch->disparity on host)",
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
     print(
         json.dumps(
             {
                 "metric": f"madnet_{bench_mode.lower()}_adaptation_fps_384x1280"
-                + (f"_x{streams}streams" if streams else ""),
+                + (f"_x{streams}streams" if streams else "")
+                + (f"_chunk{chunk}" if chunk else "")
+                + ("_nometrics" if os.environ.get("BENCH_NO_METRICS") else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -200,8 +200,9 @@ class AdaptationEngine:
         inputs = {
             "left": left,
             "right": _scale_tensor(frame["right"], s),
-            "target": _scale_tensor(frame["target"], s) / s,
         }
+        if "target" in frame:  # absent in GT-free production serving
+            inputs["target"] = _scale_tensor(frame["target"], s) / s
         if "proxy" in frame:
             inputs["proxy"] = _scale_tensor(frame["proxy"], s) / s
 

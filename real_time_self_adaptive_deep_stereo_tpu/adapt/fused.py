@@ -75,6 +75,7 @@ class FusedOnlineSession:
         arena: bool = True,
         num_streams: int = 0,
         stream_impl: str = "auto",
+        compute_metrics: bool = True,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -84,6 +85,14 @@ class FusedOnlineSession:
         reference, SURVEY.md §5)."""
         if mode not in ("NONE", "FULL", "MAD"):
             raise ValueError(f"unknown mode {mode!r}")
+        # compute_metrics=False is the PRODUCTION serving contract: no
+        # ground truth exists at deployment (adaptation is unsupervised;
+        # the reference's EPE/bad3/D1 are evaluation-protocol extras),
+        # so frames need no "target", the EPE/bad3/D1 computes and the
+        # metrics ring buffer drop out of the program, and NONE mode
+        # also skips the reprojection loss (it only fed the metrics).
+        # MAD/FULL keep the loss — the reward/reset controller needs it.
+        self.compute_metrics = bool(compute_metrics)
         self.mesh = mesh
         self.spatial_axis = spatial_axis
         self.engine = engine
@@ -217,8 +226,9 @@ class FusedOnlineSession:
             "reset_count": jnp.zeros((), jnp.int32),
             "fetch_counter": jnp.zeros((n,), jnp.int32),
             "cur_blocks": jnp.zeros((self.num_blocks,), jnp.int32),
-            "metrics": jnp.zeros((self.max_steps, 4), jnp.float32),
         }
+        if self.compute_metrics:
+            state["metrics"] = jnp.zeros((self.max_steps, 4), jnp.float32)
         if self.num_streams:
             ns = self.num_streams
             seeds = (
@@ -281,7 +291,13 @@ class FusedOnlineSession:
 
         def train_none(params, opt, frame):
             out = eng.model.forward(as_tree(params), frame["left"], frame["right"])
-            loss = eng._full_loss(out["disparities"], frame)
+            if mode == "NONE" and not self.compute_metrics:
+                # inference-only serving: the loss existed solely to feed
+                # the metrics buffer (NONE never resets) — skip the whole
+                # reprojection/SSIM pipeline
+                loss = jnp.zeros((), jnp.float32)
+            else:
+                loss = eng._full_loss(out["disparities"], frame)
             return params, opt, loss, out["full_res_disp"]
 
         def train_full(params, opt, frame):
@@ -550,6 +566,18 @@ class FusedOnlineSession:
             else:
                 reset_count = state["reset_count"]
 
+            if not self.compute_metrics:
+                new_state = {
+                    **state,
+                    **new_state_extras,
+                    "params": params2,
+                    "opt": opt2,
+                    "key": key,
+                    "step": step_i + 1,
+                    "reset_count": reset_count,
+                }
+                return new_state, disp
+
             epe, bad3 = disparity_metrics(disp, frame["target"])
             _, d1 = d1_metric(disp, frame["target"])
             i = jnp.minimum(step_i, self.max_steps - 1)
@@ -669,17 +697,18 @@ class FusedOnlineSession:
         axis (every stream has taken the same number of steps)."""
         s = self.state
         nsteps = int(np.max(jax.device_get(s["step"])))
-        host = jax.device_get(
-            {
-                "metrics": s["metrics"],
-                "scores": s["scores"],
-                "fetch_counter": s["fetch_counter"],
-                "reset_count": s["reset_count"],
-            }
-        )
-        m = host.pop("metrics")[..., :nsteps, :]
-        for j, k in enumerate(("epe", "bad3", "d1", "loss")):
-            host[k] = m[..., j]
+        fetch = {
+            "scores": s["scores"],
+            "fetch_counter": s["fetch_counter"],
+            "reset_count": s["reset_count"],
+        }
+        if self.compute_metrics:
+            fetch["metrics"] = s["metrics"]
+        host = jax.device_get(fetch)
+        if self.compute_metrics:
+            m = host.pop("metrics")[..., :nsteps, :]
+            for j, k in enumerate(("epe", "bad3", "d1", "loss")):
+                host[k] = m[..., j]
         host["steps"] = nsteps
         return host
 

@@ -307,6 +307,46 @@ def test_step_chunk_matches_sequential_steps_multistream(madnet_setup):
         )
 
 
+def test_compute_metrics_false_same_trajectory(madnet_setup):
+    """compute_metrics=False (production serving: no ground truth) must
+    leave the adaptation trajectory untouched — identical disparities
+    and params, no 'target' key required, metrics absent from
+    finalize()."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(3)]
+    cp = lambda: jax.tree_util.tree_map(lambda x: x.copy(), params)  # noqa: E731
+
+    for mode in ("NONE", "MAD"):
+        kw = dict(
+            mode=mode, sample_mode="SEQUENTIAL", ssim_th=1e9, max_steps=8,
+            seed=0,
+        )
+        ref = FusedOnlineSession(eng, cp(), **kw)
+        for f in frames:
+            ref.step(f)
+        want_disp = np.asarray(jax.device_get(ref.last_disp))
+
+        bare = FusedOnlineSession(eng, cp(), compute_metrics=False, **kw)
+        for f in frames:
+            bare.step({k: v for k, v in f.items() if k != "target"})
+        got_disp = np.asarray(jax.device_get(bare.last_disp))
+
+        np.testing.assert_allclose(got_disp, want_disp, rtol=1e-6, atol=1e-6)
+        if mode == "MAD":
+            np.testing.assert_allclose(
+                np.asarray(bare.current_params()["estimator_6"]["disp1"]["w"]),
+                np.asarray(ref.current_params()["estimator_6"]["disp1"]["w"]),
+                rtol=1e-6,
+                atol=1e-7,
+            )
+        stats = bare.finalize()
+        assert "epe" not in stats and stats["steps"] == 3
+
+
 def test_bf16_act_forward_drift_bounded(madnet_setup):
     """'bf16_act' (bfloat16 activations BETWEEN convs, the
     HBM-bandwidth serving mode) must keep the full-resolution disparity
