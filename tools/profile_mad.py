@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--mode", default="MAD", choices=["NONE", "FULL", "MAD"])
     ap.add_argument("--logdir", default="/tmp/mad_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument(
+        "--streams", type=int, default=0,
+        help="profile the num_streams=N lax.map serving composition "
+        "(the 150-vs-186 FPS gap diagnosis)",
+    )
+    ap.add_argument(
+        "--no-metrics", action="store_true",
+        help="profile the GT-free serving step (compute_metrics=False)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -71,6 +80,7 @@ def main():
         engine, params, mode=args.mode, sample_mode="PROBABILITY",
         ssim_th=1e9, max_steps=args.steps + 40, seed=0,
         shared_forward=args.shared, arena=not args.no_arena,
+        num_streams=args.streams, compute_metrics=not args.no_metrics,
     )
 
     rng = np.random.default_rng(0)
@@ -83,6 +93,13 @@ def main():
             "right": jnp.asarray(np.roll(base, -shift, axis=1)[None]),
             "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
         })
+    if args.no_metrics:
+        frames = [{k: v for k, v in f.items() if k != "target"} for f in frames]
+    if args.streams:
+        frames = [
+            {k: jnp.broadcast_to(v, (args.streams,) + v.shape) for k, v in f.items()}
+            for f in frames
+        ]
 
     for i in range(10):
         session.step(frames[i % 4])
