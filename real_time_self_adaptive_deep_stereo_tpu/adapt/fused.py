@@ -719,6 +719,51 @@ class FusedOnlineSession:
         p = self.state["params"]
         return self._unravel_fn(p) if self.spec is not None else p
 
+    def snapshot_params(self):
+        """Non-blocking weight snapshot for periodic checkpointing of a
+        live stream: starts the device->host copy of the current params
+        WITHOUT waiting (the dispatch queue keeps draining), returns a
+        zero-arg callable that materializes the pytree (numpy leaves)
+        when called. Copying the arena vector is one contiguous
+        transfer; the unravel to a pytree happens on host at
+        materialization time.
+
+        Production pattern: ``get = sess.snapshot_params()`` inside the
+        frame loop at the checkpoint stride, ``save_params(path, get())``
+        on a writer thread.
+        """
+        # device-side copy first: state["params"] is DONATED to the next
+        # step, so holding the live buffer would be invalidated; the copy
+        # (one contiguous HBM pass in arena mode) is owned by the
+        # snapshot and stays valid across any number of future steps
+        p = jax.tree_util.tree_map(jnp.copy, self.state["params"])
+        for leaf in jax.tree_util.tree_leaves(p):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # runtime without the async hint
+                pass
+        if self.spec is not None:
+            entries = self.spec.entries
+            ns = self.num_streams
+
+            def materialize():
+                # pure-host unravel: touching the device here would sync
+                # into the (busy) stream's dispatch queue
+                flat = np.asarray(jax.device_get(p))
+                out: Dict = {}
+                for path, shape, off, size in entries:
+                    node = out
+                    for k in path[:-1]:
+                        node = node.setdefault(k, {})
+                    leaf = flat[..., off : off + size]
+                    node[path[-1]] = leaf.reshape(
+                        ((ns,) if ns else ()) + tuple(shape)
+                    )
+                return out
+
+            return materialize
+        return lambda: jax.tree_util.tree_map(np.asarray, jax.device_get(p))
+
     def block_until_ready(self) -> None:
         """True synchronization: fetches the step counter. (A plain
         ``jax.block_until_ready`` on a donated output buffer can return

@@ -307,6 +307,36 @@ def test_step_chunk_matches_sequential_steps_multistream(madnet_setup):
         )
 
 
+def test_snapshot_params_nonblocking_and_stable(madnet_setup):
+    """snapshot_params() taken mid-stream must capture the weights AT
+    the snapshot point, stay valid after further (donating) steps, and
+    materialize to the same pytree current_params() showed then."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    sess = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        mode="MAD",
+        sample_mode="SEQUENTIAL",
+        ssim_th=1e9,
+        max_steps=8,
+        seed=0,
+    )
+    sess.step(_frame())
+    want = jax.tree_util.tree_map(np.asarray, jax.device_get(sess.current_params()))
+    get = sess.snapshot_params()
+    for _ in range(2):  # donations recycle the old params buffer
+        sess.step(_frame())
+    sess.block_until_ready()
+    got = get()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b), got, want
+    )
+
+
 def test_compute_metrics_false_same_trajectory(madnet_setup):
     """compute_metrics=False (production serving: no ground truth) must
     leave the adaptation trajectory untouched — identical disparities
