@@ -169,6 +169,9 @@ def main() -> None:
     # BENCH_MODE=NONE|FULL|MAD: which adaptation mode to time (README
     # perf table); the driver metric stays the MAD default.
     bench_mode = os.environ.get("BENCH_MODE", "MAD")
+    # BENCH_NO_METRICS=1: the GT-free production-serving contract
+    # (no EPE/D1/metrics buffer; NONE also drops the loss pipeline)
+    no_metrics = os.environ.get("BENCH_NO_METRICS", "0") != "0"
     session = FusedOnlineSession(
         engine,
         params,
@@ -179,9 +182,7 @@ def main() -> None:
         seed=0,
         shared_forward=os.environ.get("BENCH_SHARED", "0") != "0",
         num_streams=streams,
-        # BENCH_NO_METRICS=1: the GT-free production-serving contract
-        # (no EPE/D1/metrics buffer; NONE also drops the loss pipeline)
-        compute_metrics=os.environ.get("BENCH_NO_METRICS", "0") == "0",
+        compute_metrics=not no_metrics,
     )
 
     rng = np.random.default_rng(0)
@@ -196,7 +197,7 @@ def main() -> None:
                 "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
             }
         )
-    if os.environ.get("BENCH_NO_METRICS", "0") != "0":
+    if no_metrics:
         frames = [{k: v for k, v in f.items() if k != "target"} for f in frames]
     if streams:
         frames = [
@@ -253,12 +254,25 @@ def main() -> None:
     def step_tflops(sess, fr) -> float:
         """Compiled-HLO flop count of ONE fused step (XLA cost analysis),
         in TFLOP. Used for the MFU line — makes regressions in the
-        compute fraction visible (VERDICT r2 'what's weak' #1)."""
+        compute fraction visible (VERDICT r2 'what's weak' #1).
+
+        In chunk mode the per-frame program was never compiled; use the
+        already-compiled chunk program's flops / K instead of paying an
+        extra compile between timed passes."""
         try:
-            cost = sess._step_fn.lower(sess.state, fr[0]).compile().cost_analysis()
+            if chunk and sess._chunk_fn is not None:
+                stacked = {
+                    k: jnp.stack([fr[i % len(fr)][k] for i in range(chunk)])
+                    for k in fr[0]
+                }
+                cost = sess._chunk_fn.lower(sess.state, stacked).compile().cost_analysis()
+                scale = chunk
+            else:
+                cost = sess._step_fn.lower(sess.state, fr[0]).compile().cost_analysis()
+                scale = 1
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            return float(cost.get("flops", 0.0)) / 1e12
+            return float(cost.get("flops", 0.0)) / 1e12 / scale
         except Exception as e:  # cost analysis is best-effort on new runtimes
             print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
             return 0.0
@@ -344,6 +358,7 @@ def main() -> None:
             ssim_th=1e9,
             max_steps=WARMUP + 64 + 8,
             seed=0,
+            compute_metrics=not no_metrics,  # frames may lack "target"
         )
         for i in range(WARMUP):
             lat_sess.step(frames[i % 4])
@@ -375,7 +390,7 @@ def main() -> None:
                 "metric": f"madnet_{bench_mode.lower()}_adaptation_fps_384x1280"
                 + (f"_x{streams}streams" if streams else "")
                 + (f"_chunk{chunk}" if chunk else "")
-                + ("_nometrics" if os.environ.get("BENCH_NO_METRICS") else ""),
+                + ("_nometrics" if no_metrics else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

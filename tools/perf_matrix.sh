@@ -8,7 +8,7 @@ LOG=${1:-/tmp/perf_matrix.log}
 cd "$(dirname "$0")/.."
 : > "$LOG"
 
-run() { # name env...
+run() { # name [VAR=VAL ...]  — args must be env assignments only
   local name=$1; shift
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
   env BENCH_SKIP_SELFTEST=1 BENCH_SKIP_REALISM=1 BENCH_SKIP_LATENCY=1 "$@" \
@@ -17,7 +17,7 @@ run() { # name env...
 }
 
 # headline reproduction first (sanity that the chip is healthy)
-run mad_default true
+run mad_default
 # dispatch amortization
 run mad_chunk8  BENCH_CHUNK=8
 run mad_chunk25 BENCH_CHUNK=25

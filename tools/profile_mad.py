@@ -105,10 +105,15 @@ def main():
         session.step(frames[i % 4])
     session.block_until_ready()
 
-    # a stale logdir mixes old runs' modules into the summary
-    import shutil
+    # stale traces from prior runs would mix their modules into the
+    # summary: remove exactly the profiler artifacts, never the
+    # directory itself (--logdir may point at a dir with user data)
+    import glob as _glob
 
-    shutil.rmtree(args.logdir, ignore_errors=True)
+    for f in _glob.glob(
+        os.path.join(args.logdir, "**", "*.trace.json.gz"), recursive=True
+    ):
+        os.remove(f)
     t0 = time.perf_counter()
     with trace(args.logdir):
         for i in range(args.steps):
