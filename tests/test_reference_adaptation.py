@@ -342,19 +342,33 @@ def test_adam_update_rule_matches_tf_exactly():
     np.testing.assert_allclose(det_p1, p1a, rtol=0, atol=1e-6)
     np.testing.assert_allclose(det_p2, p2a, rtol=0, atol=1e-6)
 
-    # run 3 interleavings: each apply reads the powers at t_eff 3, or 4
-    # if the OTHER op's finish landed first (at most one can); the two
-    # racy power bumps then serialize (t=5 next) or lose one update
-    # (t=4 next). Run 4 applies var1 at whatever survived.
-    finals = {}
-    for (a1, a2) in ((3, 3), (4, 3), (3, 4)):
-        for t4 in (4, 5):
-            q1, n1, w1 = adam(p1a, m1a, v1a, g1, a1)
-            q2, _, _ = adam(p2a, m2a, v2a, g2, a2)
-            q1, _, _ = adam(q1, n1, w1, g1, t4)
-            finals[(a1, a2, t4)] = (q1, q2)
+    # run 3 interleavings: beta1_power and beta2_power are SEPARATE tf
+    # variables with independent read-modify-write bumps per op, so an
+    # apply can read beta1 at one effective step and beta2 at another
+    # (observed in the wild on a single-core host: TF landed outside the
+    # same-t enumeration this test originally used). Each op's apply
+    # reads each power at t_eff 3, or 4 if the other op's bump landed
+    # first; the bumps then serialize (t=5 next) or lose one (t=4), per
+    # power independently. Run 4 applies var1 at whatever survived.
+    def adam_mixed(p, m, v, g, tb1, tb2):
+        m2 = 0.9 * m + 0.1 * g
+        v2_ = 0.999 * v + 0.001 * g * g
+        lr_t = lr * np.sqrt(1.0 - 0.999**tb2) / (1.0 - 0.9**tb1)
+        return p - lr_t * m2 / (np.sqrt(v2_) + 1e-8), m2, v2_
 
-    ours_key = (3, 3, 5)  # pre-run reads, count advances per unique op
+    import itertools
+
+    finals = {}
+    for a1 in itertools.product((3, 4), (3, 4)):
+        for a2 in itertools.product((3, 4), (3, 4)):
+            for t4 in itertools.product((4, 5), (4, 5)):
+                q1, n1, w1 = adam_mixed(p1a, m1a, v1a, g1, *a1)
+                q2, _, _ = adam_mixed(p2a, m2a, v2a, g2, *a2)
+                q1, _, _ = adam_mixed(q1, n1, w1, g1, *t4)
+                finals[(a1, a2, t4)] = (q1, q2)
+
+    # pre-run reads, count advances per unique op (our convention)
+    ours_key = ((3, 3), (3, 3), (5, 5))
     assert ours_key in finals
     matched = [
         key
@@ -366,13 +380,15 @@ def test_adam_update_rule_matches_tf_exactly():
         f"tf_p1={tf_p1}, candidates="
         f"{ {k: v[0].round(6).tolist() for k, v in finals.items()} }"
     )
-    # all interleavings stay within ~0.1*lr of each other absolutely
-    # (the spread is O(update * Δbias-correction)) — our pre-run
-    # convention is inside the reference's own nondeterminism envelope
+    # all interleavings stay within ~0.5*lr of each other absolutely
+    # (the spread is O(update * Δbias-correction); measured max over
+    # this grid: 3e-3 = 0.3*lr at the mixed-power corners) — our
+    # pre-run convention is inside the reference's own nondeterminism
+    # envelope
     q1_ours, q2_ours = finals[ours_key]
     for q1, q2 in finals.values():
-        np.testing.assert_allclose(q1, q1_ours, rtol=0, atol=0.1 * lr)
-        np.testing.assert_allclose(q2, q2_ours, rtol=0, atol=0.1 * lr)
+        np.testing.assert_allclose(q1, q1_ours, rtol=0, atol=0.5 * lr)
+        np.testing.assert_allclose(q2, q2_ours, rtol=0, atol=0.5 * lr)
 
 
 def test_mad_adam_adaptation_step_matches_reference():
