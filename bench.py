@@ -182,6 +182,7 @@ def main() -> None:
         seed=0,
         shared_forward=os.environ.get("BENCH_SHARED", "0") != "0",
         num_streams=streams,
+        stream_impl=os.environ.get("BENCH_STREAM_IMPL", "auto"),
         compute_metrics=not no_metrics,
     )
 

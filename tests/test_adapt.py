@@ -643,7 +643,7 @@ def test_split_forward_matches_whole_forward(name):
     assert len(whole["disparities"]) == len(staged["disparities"])
 
 
-@pytest.mark.parametrize("stream_impl", ["map", "vmap"])
+@pytest.mark.parametrize("stream_impl", ["map", "vmap", "unroll"])
 def test_multistream_session_matches_single(madnet_setup, stream_impl):
     """num_streams=N runs N independent adaptation streams in ONE program
     (own params/opt/scores/PRNG each). 'map' composes the production
@@ -665,7 +665,7 @@ def test_multistream_session_matches_single(madnet_setup, stream_impl):
         ssim_th=1e9,
         max_steps=8,
         seed=0,
-        shared_forward=(stream_impl == "vmap"),
+        shared_forward=(stream_impl == "vmap"),  # map/unroll: switch step
     )
     for f in frames:
         single.step(f)

@@ -31,4 +31,6 @@ run none_nometrics_chunk8 BENCH_MODE=NONE BENCH_NO_METRICS=1 BENCH_CHUNK=8
 # multi-stream serving (VERDICT r2 #3: target >=170 total FPS at 4 streams)
 run streams4_map BENCH_STREAMS=4
 run streams4_map_chunk8 BENCH_STREAMS=4 BENCH_CHUNK=8
+run streams4_unroll BENCH_STREAMS=4 BENCH_STREAM_IMPL=unroll
+run streams4_unroll_chunk4 BENCH_STREAMS=4 BENCH_STREAM_IMPL=unroll BENCH_CHUNK=4
 echo "done $(date +%H:%M:%S)" | tee -a "$LOG"
