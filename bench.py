@@ -231,7 +231,8 @@ def main() -> None:
                 k: jnp.stack([fr[i % len(fr)][k] for i in range(chunk)])
                 for k in fr[0]
             }
-            dispatch = lambda i: sess.step_chunk(stacked)  # noqa: E731
+            cu = int(os.environ.get("BENCH_CHUNK_UNROLL", "1"))
+            dispatch = lambda i: sess.step_chunk(stacked, unroll=cu)  # noqa: E731
             n_calls = max(1, iters // chunk)
             frames_per_pass = n_calls * chunk
         else:

@@ -682,7 +682,7 @@ class FusedOnlineSession:
         cadence without forcing a sync on every frame."""
         self.state, self.last_disp = self._step_fn(self.state, frame)
 
-    def step_chunk(self, frames: Dict) -> None:
+    def step_chunk(self, frames: Dict, unroll: int = 1) -> None:
         """Async: dispatches K frames in ONE program (lax.scan over the
         fused step; the frames pytree carries a leading [K] axis).
 
@@ -699,6 +699,11 @@ class FusedOnlineSession:
         [K, num_streams] prefix; each scan iteration runs one frame of
         every stream (same per-iteration composition as ``step``), so
         one dispatch advances K*N frames.
+
+        ``unroll`` (default 1) is forwarded to ``lax.scan`` — unrolling
+        the body U-fold removes the scan's per-iteration frame-slice /
+        output-stack kernels at the cost of a U-times larger program.
+        Fixed at the first call (the compiled program is cached).
         """
         if self._chunk_fn is None:
             if self.mesh is not None:
@@ -731,7 +736,7 @@ class FusedOnlineSession:
             else:
                 base = raw
             self._chunk_fn = jax.jit(
-                lambda state, fr: jax.lax.scan(base, state, fr),
+                lambda state, fr: jax.lax.scan(base, state, fr, unroll=unroll),
                 donate_argnums=(0,),
             )
         self.state, disps = self._chunk_fn(self.state, frames)

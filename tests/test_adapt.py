@@ -235,11 +235,13 @@ def test_fused_session_matches_host_session(madnet_setup, shared_forward):
     )
 
 
-def test_step_chunk_matches_sequential_steps(madnet_setup):
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_step_chunk_matches_sequential_steps(madnet_setup, unroll):
     """step_chunk(K frames) must reproduce EXACTLY the trajectory of K
     sequential step() calls (lax.scan over the same traced step fn) —
     the chunked mode only amortizes host dispatch, never changes
-    semantics."""
+    semantics. unroll=K (full scan unroll, the no-loop-overhead serving
+    shape) must be equally exact."""
     from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
         FusedOnlineSession,
     )
@@ -257,7 +259,7 @@ def test_step_chunk_matches_sequential_steps(madnet_setup):
 
     chunked = FusedOnlineSession(eng, cp(), **kw)
     stacked = {k: jnp.stack([f[k] for f in frames]) for k in frames[0]}
-    chunked.step_chunk(stacked)
+    chunked.step_chunk(stacked, unroll=unroll)
     last_chunk = np.asarray(jax.device_get(chunked.last_disp))
     chunk_stats = chunked.finalize()
 

@@ -21,6 +21,7 @@ run mad_default
 # dispatch amortization
 run mad_chunk8  BENCH_CHUNK=8
 run mad_chunk25 BENCH_CHUNK=25
+run mad_chunk8_unrolled BENCH_CHUNK=8 BENCH_CHUNK_UNROLL=8
 # bf16 activations between convs
 run mad_bf16act BENCH_PRECISION=bf16_act
 run mad_bf16act_chunk8 BENCH_PRECISION=bf16_act BENCH_CHUNK=8
