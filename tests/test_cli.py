@@ -288,3 +288,35 @@ def test_kitti_eval_tool(initial_weights, tmp_path):
     table = open(os.path.join(out, "kitti_table.csv")).read().splitlines()
     assert table[0].startswith("sequence,mode,frames,avg_d1")
     assert table[1].startswith("city,MAD,3,")
+
+
+@pytest.mark.quick
+def test_cli_argparser_surfaces_quick():
+    """Quick-tier smoke for the CLI subsystem: every entry point builds
+    its parser and accepts its reference-compatible flag set (no model
+    compiles; real runs are covered by the full-tier tests above)."""
+    from real_time_self_adaptive_deep_stereo_tpu.cli import (
+        adapt,
+        adapt_continual,
+        demo,
+        train,
+    )
+
+    base = ["-l", "list.csv", "-o", "/tmp/o", "--weights", "w.npz",
+            "--blockConfig", "block_config/MadNet_full.json"]
+    a = adapt.build_argparser().parse_args(
+        base + ["--mode", "MAD", "--sampleMode", "FIXED",
+                "--fixedID", "1", "4", "--numBlocks", "2"]
+    )
+    assert a.fixedID == [1, 4] and a.numBlocks == 2
+    c = adapt_continual.build_argparser().parse_args(base + ["--dilation", "2"])
+    assert c.dilation == 2
+    t = train.build_argparser().parse_args(
+        ["--trainingSet", "list.csv", "-o", "/tmp/o"]
+    )
+    assert t.lr > 0
+    d = demo.build_argparser().parse_args(
+        ["--weights", "w.npz", "--blockConfig",
+         "block_config/MadNet_full.json", "--camera", "folder"]
+    )
+    assert d.camera == "folder" and d.SSIMTh == 0.5

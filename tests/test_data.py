@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # IO-only module: no XLA compiles of full nets
+
 from real_time_self_adaptive_deep_stereo_tpu.data import (
     StereoDataset,
     center_crop_or_pad,

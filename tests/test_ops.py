@@ -39,6 +39,7 @@ def corr_oracle(x, y, max_disp, stride=1):
 
 
 @pytest.mark.parametrize("max_disp,stride", [(2, 1), (3, 2), (5, 1)])
+@pytest.mark.quick
 def test_correlation_jnp_matches_oracle(max_disp, stride):
     x = rng.normal(size=(2, 4, 16, 8)).astype(np.float32)
     y = rng.normal(size=(2, 4, 16, 8)).astype(np.float32)
@@ -46,6 +47,7 @@ def test_correlation_jnp_matches_oracle(max_disp, stride):
     np.testing.assert_allclose(got, corr_oracle(x, y, max_disp, stride), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.quick
 def test_correlation_pallas_interpret_matches_jnp():
     # interpret-mode execution of the pallas kernel on CPU
     x = rng.normal(size=(1, 8, 32, 16)).astype(np.float32)
@@ -114,6 +116,7 @@ def test_pad_image_matches_tf_reflect():
 # ----------------------------------------------------------------------- warp
 
 
+@pytest.mark.quick
 def test_warp_image_zero_disp_identity():
     img = rng.normal(size=(1, 6, 12, 3)).astype(np.float32)
     disp = np.zeros((1, 6, 12, 1), np.float32)
@@ -121,6 +124,7 @@ def test_warp_image_zero_disp_identity():
     np.testing.assert_allclose(out, img, rtol=1e-6)
 
 
+@pytest.mark.quick
 def test_warp_image_integer_shift():
     img = rng.normal(size=(1, 4, 12, 2)).astype(np.float32)
     disp = np.full((1, 4, 12, 1), 3.0, np.float32)
@@ -130,6 +134,7 @@ def test_warp_image_integer_shift():
     np.testing.assert_allclose(out, want, rtol=1e-6)
 
 
+@pytest.mark.quick
 def test_warp_image_fractional_shift():
     img = np.arange(8, dtype=np.float32).reshape(1, 1, 8, 1)
     disp = np.full((1, 1, 8, 1), 0.5, np.float32)
@@ -140,6 +145,7 @@ def test_warp_image_fractional_shift():
     assert out[0] == 0.0  # both corners clamp to index 0 -> value 0
 
 
+@pytest.mark.quick
 def test_warp_features_oob_weights_zeroed():
     feats = np.ones((1, 2, 6, 4), np.float32)
     dx = np.full((1, 2, 6, 1), -10.0, np.float32)  # everything out of range
@@ -147,6 +153,7 @@ def test_warp_features_oob_weights_zeroed():
     np.testing.assert_allclose(out, np.zeros_like(out))
 
 
+@pytest.mark.quick
 def test_warp_features_matches_linear_warping_semantics():
     # numpy oracle of MadNet._linear_warping (horizontal, OOB-weight zeroing)
     feats = rng.normal(size=(2, 3, 10, 5)).astype(np.float32)
@@ -227,6 +234,7 @@ def test_warp_features_shift_grads_match_gather():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_warp_onehot_matches_gather():
     from real_time_self_adaptive_deep_stereo_tpu.ops.warp import (
         warp_features_onehot,
@@ -320,6 +328,7 @@ def test_warp_mxu_interpret_grads_match_gather():
 # ------------------------------------------------------------ conv precision
 
 
+@pytest.mark.quick
 def test_conv_bf16_mode_close_to_f32_and_restores():
     """set_conv_precision('bf16') stores conv operands in bfloat16 with
     fp32 accumulation: outputs must stay fp32 and track the fp32 conv to
@@ -347,6 +356,7 @@ def test_conv_bf16_mode_close_to_f32_and_restores():
     np.testing.assert_allclose(np.asarray(again), np.asarray(want), rtol=0, atol=0)
 
 
+@pytest.mark.quick
 def test_warp_image_onehot_flat_matches_nhwc():
     """warp_image_onehot_flat must equal the NHWC one-hot warp reshaped
     to the merged [B,H,W*C] layout (it exists purely to avoid ever

@@ -231,3 +231,29 @@ def test_mad_fused_step_under_mesh_matches_single_device(model_and_params):
         rtol=1e-3,
         atol=1e-6,
     )
+
+
+@pytest.mark.quick
+def test_mesh_sharding_primitives_quick():
+    """Quick-tier smoke for the parallel subsystem: mesh construction,
+    batch/width shardings, and a sharded jit whose result matches the
+    unsharded computation — no full-net compile (the 1-core host cannot
+    afford one inside the <5 min `pytest -m quick` budget)."""
+    from real_time_self_adaptive_deep_stereo_tpu.parallel import (
+        batch_sharded,
+        make_mesh,
+        shard_batch,
+        width_sharded,
+    )
+
+    mesh = make_mesh(4)
+    assert mesh.devices.shape == (4,)
+    x = np.arange(4 * 8 * 16 * 3, dtype=np.float32).reshape(4, 8, 16, 3)
+    batch = shard_batch({"left": x}, batch_sharded(mesh))
+    assert batch["left"].sharding.is_equivalent_to(batch_sharded(mesh), 4)
+    f = jax.jit(lambda b: jnp.mean(b["left"] ** 2, axis=(1, 2, 3)))
+    np.testing.assert_allclose(
+        np.asarray(f(batch)), np.asarray(f({"left": jnp.asarray(x)})), rtol=1e-6
+    )
+    wide = shard_batch({"left": x}, width_sharded(mesh))
+    assert wide["left"].sharding.spec == width_sharded(mesh).spec

@@ -1,0 +1,192 @@
+"""Characterize dispatch->disparity-on-host latency of the fused MAD step.
+
+VERDICT r3 missing #4: p50 67 ms dispatch->disparity loses to the
+reference GPU's ~40 ms/frame full sess.run (BASELINE.md) although the
+device step itself is ~5 ms. This probe separates the contributors —
+pure sync RTT, transfer bytes, blocking-vs-async copy — and measures
+every candidate serving mode so docs/SERVING.md can quote real numbers.
+
+Variants (64 frames each, p50/p99 ms):
+  scalar_sync     device_get of the 4-byte step counter (pure RTT floor)
+  blocking_f32    step + device_get(last_disp)            [r3 bench mode]
+  async_f32       step + fetch_disp()() (copy_to_host_async first)
+  poll_f32        step + copy_to_host_async + is_ready poll + materialize
+  async_f16       disp_dtype=float16 session + fetch_disp()()
+  pipelined_f16   depth-1 pipeline: dispatch i+1, then materialize i
+                  (consumer sees one-frame-old disparity; steady-state
+                  latency is what a robot loop at fixed rate experiences)
+
+Run solo on the chip (host contention skews everything on this 1-core
+box): `python tools/probe_latency.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W = 384, 1280
+N = 64
+WARMUP = 10
+
+
+def build_session(disp_dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt import (
+        AdaptationEngine,
+        load_block_config,
+        make_blocks,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+
+    model = get_stereo_net("MADNet", bulkhead=True)
+    params = model.init(jax.random.PRNGKey(0))
+    blocks = make_blocks(
+        load_block_config("block_config/MadNet_full.json"), model.layer_to_path
+    )
+    engine = AdaptationEngine(model, blocks, lr=1e-4)
+    sess = FusedOnlineSession(
+        engine,
+        params,
+        mode="MAD",
+        sample_mode="PROBABILITY",
+        ssim_th=1e9,
+        max_steps=WARMUP + 8 * N + 16,
+        seed=0,
+        disp_dtype=disp_dtype,
+    )
+    rng = np.random.default_rng(0)
+    base = rng.random((H, W, 3)).astype(np.float32) * 255
+    frames = []
+    for i in range(4):
+        shift = 4 + i
+        frames.append(
+            {
+                "left": jnp.asarray(base[None]),
+                "right": jnp.asarray(np.roll(base, -shift, axis=1)[None]),
+                "target": jnp.asarray(np.full((1, H, W, 1), shift, np.float32)),
+            }
+        )
+    return sess, frames
+
+
+def report(name, lats, extra=None):
+    lats = np.sort(np.asarray(lats))
+    rec = {
+        "variant": name,
+        "p50_ms": round(float(lats[len(lats) // 2]), 2),
+        "p99_ms": round(float(lats[int(len(lats) * 0.99)]), 2),
+        "mean_ms": round(float(lats.mean()), 2),
+        "min_ms": round(float(lats[0]), 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    sess, frames = build_session()
+    for i in range(WARMUP):
+        sess.step(frames[i % 4])
+    sess.block_until_ready()
+
+    # pure sync RTT: 4-byte fetch with an idle queue
+    lats = []
+    for _ in range(N):
+        t0 = time.perf_counter()
+        jax.device_get(sess.state["step"])
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("scalar_sync", lats)
+
+    # r3 bench mode: blocking device_get of the f32 disparity
+    lats = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        sess.step(frames[i % 4])
+        jax.device_get(sess.last_disp)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("blocking_f32", lats, {"bytes": H * W * 4})
+
+    # async copy started right after dispatch, then materialize
+    lats = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        sess.step(frames[i % 4])
+        get = sess.fetch_disp()
+        get()
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("async_f32", lats, {"bytes": H * W * 4})
+
+    # async copy + is_ready polling before the materialize
+    lats = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        sess.step(frames[i % 4])
+        d = sess.last_disp
+        try:
+            d.copy_to_host_async()
+        except AttributeError:
+            pass
+        while not d.is_ready():
+            time.sleep(0.0005)
+        np.asarray(jax.device_get(d))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("poll_f32", lats, {"bytes": H * W * 4})
+
+    # f16 output: half the transfer bytes
+    sess16, frames16 = build_session(disp_dtype=jnp.float16)
+    for i in range(WARMUP):
+        sess16.step(frames16[i % 4])
+    sess16.block_until_ready()
+    lats = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        sess16.step(frames16[i % 4])
+        get = sess16.fetch_disp()
+        out = get()
+        lats.append((time.perf_counter() - t0) * 1e3)
+    assert out.dtype == np.float16, out.dtype
+    report("async_f16", lats, {"bytes": H * W * 2})
+
+    # depth-1 pipeline: consumer takes frame i's disparity while frame
+    # i+1 is already in flight — measures the steady-state interval
+    # between consecutive disparities landing on host
+    lats = []
+    sess16.step(frames16[0])
+    pending = sess16.fetch_disp()
+    for i in range(1, N + 1):
+        t0 = time.perf_counter()
+        sess16.step(frames16[i % 4])
+        nxt = sess16.fetch_disp()
+        pending()
+        pending = nxt
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("pipelined_f16", lats, {"bytes": H * W * 2, "staleness_frames": 1})
+
+
+if __name__ == "__main__":
+    main()

