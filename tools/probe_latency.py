@@ -7,7 +7,8 @@ pure sync RTT, transfer bytes, blocking-vs-async copy — and measures
 every candidate serving mode so docs/SERVING.md can quote real numbers.
 
 Variants (64 frames each, p50/p99 ms):
-  scalar_sync     device_get of the 4-byte step counter (pure RTT floor)
+  wire_rtt_4B     fresh 4-byte fetch (pure sync RTT floor)
+  wire_d2h_*KiB   D2H bandwidth sweep (64 KiB .. full-disparity size)
   blocking_f32    step + device_get(last_disp)            [r3 bench mode]
   async_f32       step + fetch_disp()() (copy_to_host_async first)
   poll_f32        step + copy_to_host_async + is_ready poll + materialize
@@ -96,6 +97,41 @@ def report(name, lats, extra=None):
     return rec
 
 
+def probe_wire(jax, jnp):
+    """Characterize the host<->device wire itself: RTT on a fresh tiny
+    array each iteration (a repeated device_get of the SAME array is
+    free — jax.Array caches its materialized value), and D2H bandwidth
+    over a size sweep. On a healthy TPU host this is PCIe (GB/s, sub-ms
+    for 2 MB); over the axon tunnel it is the dominant latency term."""
+    dev = jax.devices()[0]
+    add = jax.jit(lambda x: x + 1)
+    # RTT: produce a FRESH 4-byte result on device, then fetch it
+    x = jax.device_put(jnp.zeros((), jnp.float32), dev)
+    lats = []
+    for _ in range(N):
+        y = add(x)
+        y.block_until_ready()
+        t0 = time.perf_counter()
+        jax.device_get(y)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    report("wire_rtt_4B", lats)
+    # D2H bandwidth sweep
+    for kb in (64, 512, 1920):
+        buf = jax.device_put(
+            jnp.zeros((kb * 256,), jnp.float32), dev
+        )  # kb KiB of f32
+        lats = []
+        for _ in range(16):
+            y = add(buf)
+            y.block_until_ready()
+            t0 = time.perf_counter()
+            jax.device_get(y)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        r = report(f"wire_d2h_{kb}KiB", lats, {"bytes": kb * 1024})
+        mbps = (kb / 1024.0) / (r["p50_ms"] / 1e3)
+        print(f"#   -> D2H ~{mbps:.0f} MiB/s at {kb} KiB", flush=True)
+
+
 def main():
     import jax
 
@@ -109,18 +145,12 @@ def main():
         pass
     import jax.numpy as jnp
 
+    probe_wire(jax, jnp)
+
     sess, frames = build_session()
     for i in range(WARMUP):
         sess.step(frames[i % 4])
     sess.block_until_ready()
-
-    # pure sync RTT: 4-byte fetch with an idle queue
-    lats = []
-    for _ in range(N):
-        t0 = time.perf_counter()
-        jax.device_get(sess.state["step"])
-        lats.append((time.perf_counter() - t0) * 1e3)
-    report("scalar_sync", lats)
 
     # r3 bench mode: blocking device_get of the f32 disparity
     lats = []
