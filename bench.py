@@ -138,9 +138,13 @@ def main() -> None:
     from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
     from real_time_self_adaptive_deep_stereo_tpu.ops.conv import set_conv_precision
 
-    # standard TPU conv precision (bf16 multiplies, fp32 accumulation);
-    # set BENCH_PRECISION=highest for the fp32-exact parity mode
-    set_conv_precision(os.environ.get("BENCH_PRECISION", "default"))
+    # serving default since r04: bf16_act (bf16 MXU passes AND bf16
+    # activations between convs; fp32 disparity heads). Promoted after
+    # the end-to-end adaptation drift protocol measured <=0.079% D1 vs
+    # fp32-exact in every mode (PARITY_RESULTS.md "Precision drift").
+    # BENCH_PRECISION=highest for fp32-exact, =default for fp32-act.
+    precision = os.environ.get("BENCH_PRECISION", "bf16_act")
+    set_conv_precision(precision)
 
     # value-check the compiled kernels on this chip before timing
     # (skippable for quick FPS iterations via BENCH_SKIP_SELFTEST=1).
@@ -208,8 +212,12 @@ def main() -> None:
 
     # BENCH_CHUNK=K: dispatch K frames per program via step_chunk
     # (lax.scan) — amortizes the ~0.3 ms/dispatch host cost; identical
-    # adaptation trajectory, K-1 frames extra latency (throughput mode)
-    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    # adaptation trajectory, K-1 frames extra latency. Default 25 since
+    # r04 (the measured throughput winner: 204 best / 189 median FPS
+    # with bf16_act, docs/perf_matrix_r04.log); BENCH_CHUNK=0 restores
+    # per-frame dispatch. Non-headline modes keep per-frame dispatch.
+    chunk_default = "25" if (bench_mode == "MAD" and not streams) else "0"
+    chunk = int(os.environ.get("BENCH_CHUNK", chunk_default))
     # parsed ONCE and reused by both time_session and step_tflops so the
     # flop scale always matches the unroll actually dispatched (ADVICE r3)
     chunk_unroll = int(os.environ.get("BENCH_CHUNK_UNROLL", "1"))
@@ -416,6 +424,13 @@ def main() -> None:
         for i in range(WARMUP):
             lat_sess.step(frames[i % 4])
         lat_sess.block_until_ready()
+        # the framework's own per-frame cost (device step + host dispatch,
+        # no per-frame sync): 64 steps, one drain
+        t0 = time.perf_counter()
+        for i in range(64):
+            lat_sess.step(frames[i % 4])
+        lat_sess.block_until_ready()
+        step_ms = (time.perf_counter() - t0) * 1e3 / 64
         lats = []
         for i in range(64):
             t0 = time.perf_counter()
@@ -432,14 +447,20 @@ def main() -> None:
                     "p99_ms": round(float(lats[int(len(lats) * 0.99)]), 2),
                     "mean_ms": round(float(lats.mean()), 2),
                     "unit": "ms (dispatch->disparity on host)",
-                    # decomposition: wire (tunnel RTT + D2H of the f32
-                    # disparity, unremovable by framework code) vs the
-                    # framework's own step+host cost. On a healthy PCIe
-                    # host wire is <1 ms, so framework_p50 is the
-                    # projected total there.
+                    # decomposition. framework_step_ms = device step +
+                    # host dispatch, measured sync-free (64 steps, one
+                    # drain). wire_* = measured tunnel RTT / idle-queue
+                    # fetch of disparity-size bytes. The residual beyond
+                    # framework+wire is tunnel sync overhead (an extra
+                    # RTT-scale wait inside a busy-queue device_get).
+                    # Healthy-host projection: framework_step_ms + <1 ms
+                    # PCIe wire.
+                    "framework_step_ms": round(step_ms, 2),
                     "wire_rtt_p50_ms": round(wire_rtt, 2),
                     "wire_disp_fetch_p50_ms": round(wire_disp, 2),
-                    "framework_p50_ms": round(max(p50 - wire_disp, 0.0), 2),
+                    "tunnel_sync_residual_p50_ms": round(
+                        max(p50 - step_ms - wire_disp, 0.0), 2
+                    ),
                 }
             ),
             file=sys.stderr,
@@ -456,6 +477,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "precision": precision,
                 "passes": PASSES,
                 "aggregation": "best-pass" + ("*streams" if streams else ""),
                 "median_fps": round(median_fps, 2),

@@ -191,3 +191,66 @@ def test_native_loader_training_batches(synthetic_dataset):
     assert len(batches) == 4  # 8 samples / batch 2, drop remainder n/a
     assert all(b["left"].shape == (2, 16, 24, 3) for b in batches)
     assert all(np.isfinite(b["target"]).all() for b in batches)
+
+
+# -------------------------------------------------- real-imagery fixture
+
+REALWORLD = os.path.join(os.path.dirname(__file__), "fixtures", "realworld")
+
+
+@pytest.fixture()
+def realworld_list(tmp_path):
+    """CSV list over the checked-in real-photograph fixture
+    (tests/fixtures/realworld, built by tools/realworld_fixture.py):
+    rectified 320x1216 pairs with KITTI-format 16-bit sparse GT."""
+    import glob as _glob
+
+    lefts = sorted(_glob.glob(os.path.join(REALWORLD, "*_left.png")))
+    if not lefts:
+        pytest.skip("realworld fixture absent — run tools/realworld_fixture.py")
+    lines = []
+    for lp in lefts:
+        base = lp[: -len("_left.png")]
+        lines.append(f"{lp},{base}_right.png,{base}_gt.png")
+    f = tmp_path / "realworld.csv"
+    f.write_text("\n".join(lines) + "\n")
+    return str(f)
+
+
+def test_realworld_fixture_through_reader(realworld_list):
+    """Real PNG files through the full eval pipeline: KITTI /256 GT
+    decode, sparse-GT semantics (0 = occluded/invalid), full-res crop."""
+    ds = StereoDataset(
+        realworld_list,
+        batch_size=1,
+        crop_shape=(320, 1216),
+        num_epochs=1,
+        is_training=False,
+        shuffle=False,
+    )
+    batches = list(ds)
+    assert len(batches) == 4
+    for b in batches:
+        assert b["left"].shape == (1, 320, 1216, 3)
+        assert b["left"].max() > 150 and b["left"].min() >= 0  # real photos
+        gt = b["target"][0, ..., 0]
+        valid = gt > 0
+        assert 0.85 < valid.mean() <= 1.0  # occlusions left invalid
+        assert 3.0 <= gt[valid].min() and gt.max() < 192.0  # KITTI range
+
+
+def test_realworld_fixture_native_loader_parity(realworld_list):
+    """The C++ loader decodes the real 8-bit/16-bit PNGs bit-identically
+    to the python path."""
+    from real_time_self_adaptive_deep_stereo_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    kw = dict(batch_size=1, crop_shape=(320, 1216), num_epochs=1,
+              is_training=False, shuffle=False)
+    for a, b in zip(
+        StereoDataset(realworld_list, backend="python", **kw),
+        StereoDataset(realworld_list, backend="native", **kw),
+    ):
+        for k in ("left", "right", "target"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
