@@ -41,14 +41,18 @@ from tools.validate_adaptation import pretrain  # noqa: E402
 FIXTURE = os.path.join(REPO, "tests", "fixtures", "realworld")
 
 
-def load_fixture_sequence(frames: int, height: int, width: int):
+def load_fixture_sequence(frames: int, height: int, width: int, scenes_filter=None):
     """Cycle the fixture scenes into an adaptation sequence (the
-    reference replays KITTI videos; our 4 static scenes cycle)."""
+    reference replays KITTI videos; our 4 static scenes cycle).
+    scenes_filter: optional set of scene names to include — lets a run
+    hold out scenes the initial weights were trained on."""
     from PIL import Image
 
     scenes = []
     for lp in sorted(glob.glob(os.path.join(FIXTURE, "*_left.png"))):
         name = os.path.basename(lp)[: -len("_left.png")]
+        if scenes_filter and name not in scenes_filter:
+            continue
         left = np.asarray(Image.open(lp), np.float32)
         right = np.asarray(
             Image.open(os.path.join(FIXTURE, f"{name}_right.png")), np.float32
@@ -80,6 +84,8 @@ def main():
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--pretrainSteps", type=int, default=200)
+    ap.add_argument("--paramsNpz", default="", help="skip pretraining, load these params")
+    ap.add_argument("--scenes", default="", help="comma-separated fixture scenes to adapt on (default all)")
     ap.add_argument("--full", action="store_true", help="also run FULL mode")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
     args = ap.parse_args()
@@ -88,28 +94,49 @@ def main():
 
     from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
 
-    seq = load_fixture_sequence(args.frames, args.height, args.width)
+    scenes_filter = set(args.scenes.split(",")) if args.scenes else None
+    seq = load_fixture_sequence(
+        args.frames, args.height, args.width, scenes_filter
+    )
     print(f"{len(seq)} frames @ {args.height}x{args.width} (real imagery)", flush=True)
 
-    print("pretraining initial weights on synthetic scene A ...", flush=True)
-    params = pretrain(96, 320, steps=args.pretrainSteps)
-    params_np = jax.tree_util.tree_map(np.asarray, params)
+    if args.paramsNpz:  # e.g. pretrained on the chip (fast) by
+        # utils/checkpoint.save_params; the loops themselves stay on CPU
+        # for fp32-exact cross-framework parity
+        from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
+            load_params,
+        )
+
+        params_np = jax.tree_util.tree_map(np.asarray, load_params(args.paramsNpz))
+        print(f"loaded pretrained params from {args.paramsNpz}", flush=True)
+    else:
+        print("pretraining initial weights on synthetic scene A ...", flush=True)
+        params = pretrain(96, 320, steps=args.pretrainSteps)
+        params_np = jax.tree_util.tree_map(np.asarray, params)
     name_map = get_stereo_net("MADNet").tf_name_map()
 
     lines = [
         "## Real-imagery parity (CPU, fp32) — photographic fixture @ "
         f"{args.height}x{args.width}",
         "",
-        f"{args.frames} frames cycling tests/fixtures/realworld (real "
-        "photographs, occlusion-aware GT, KITTI 16-bit-PNG format), "
-        "synthetic-pretrained weights (the deployment domain-shift "
-        "story), SEQUENTIAL sampling, lr=1e-4, SSIMTh=0.5.",
+        f"{args.frames} frames cycling tests/fixtures/realworld"
+        + (f" scenes {{{args.scenes}}}" if args.scenes else "")
+        + " (real photographs, occlusion-aware GT, KITTI 16-bit-PNG "
+        "format), "
+        + (
+            f"initial weights from `{os.path.basename(args.paramsNpz)}`"
+            if args.paramsNpz
+            else "synthetic-pretrained weights"
+        )
+        + " (the deployment domain-shift story), SEQUENTIAL sampling, "
+        "lr=1e-4, SSIMTh=0.5.",
         "",
         "| run | EPE | bad3 | D1-all | resets |",
         "|---|---|---|---|---|",
     ]
     modes = ("NONE", "MAD") + (("FULL",) if args.full else ())
     deltas = []
+    q = max(len(seq) // 4, 1)  # adaptation trend: first vs last quarter
     for mode in modes:
         print(f"reference loop, mode={mode} ...", flush=True)
         ref_rows, ref_resets = run_reference_loop(mode, seq, params_np, name_map)
@@ -117,9 +144,23 @@ def main():
         our_rows, our_resets = run_our_loop(mode, seq, params_np)
         lines.append(fmt_row(f"reference {mode}", ref_rows, ref_resets))
         lines.append(fmt_row(f"ours {mode}", our_rows, our_resets))
+        if mode != "NONE":
+            lines.append(
+                fmt_row(f"reference {mode} (first {q}f)", ref_rows[:q], "")
+            )
+            lines.append(fmt_row(f"reference {mode} (last {q}f)", ref_rows[-q:], ""))
+            lines.append(fmt_row(f"ours {mode} (first {q}f)", our_rows[:q], ""))
+            lines.append(fmt_row(f"ours {mode} (last {q}f)", our_rows[-q:], ""))
         d1_delta = abs(our_rows.mean(axis=0)[2] - ref_rows.mean(axis=0)[2])
         deltas.append((mode, d1_delta))
         print(f"mode={mode}: D1 delta = {d1_delta:.3f}%", flush=True)
+        if mode != "NONE":
+            print(
+                f"  adaptation trend (D1 first->last {q}f): "
+                f"ref {ref_rows[:q].mean(0)[2]:.2f}->{ref_rows[-q:].mean(0)[2]:.2f}  "
+                f"ours {our_rows[:q].mean(0)[2]:.2f}->{our_rows[-q:].mean(0)[2]:.2f}",
+                flush=True,
+            )
     lines.append("")
     for mode, d in deltas:
         status = "PASS" if d < 0.5 else "FAIL"
