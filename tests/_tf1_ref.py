@@ -25,6 +25,13 @@ def load_tf1():
     global _tf1
     if _tf1 is not None:
         return _tf1
+    # oneDNN picks kernel strategies at runtime (thread/cache state), so
+    # its summation order — and therefore the reference goldens — can
+    # shift between runs under host load; the stereo refinement cascade
+    # amplifies that round-off ~10x per scale, which once pushed the
+    # converter-closure test past its 2e-4 tolerance in a loaded full
+    # suite (passed solo). Pin the oracle to the deterministic kernels.
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
     import tensorflow as tf2
 
     tf1 = tf2.compat.v1
