@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
 from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
@@ -157,3 +158,43 @@ def test_orbax_roundtrip(tmp_path):
         params,
         back,
     )
+
+
+def test_committed_realworld_weights_fixture():
+    """The checked-in held-out-protocol weights (trained in-repo on
+    fixture scene0/1 via cli/train.py, MANIFEST.txt) load through the
+    standard npz path into the exact MADNet pytree structure and
+    reproduce the documented operating point on a held-out scene:
+    D1-all ~53.5% on scene2 @320x1152 (PARITY_RESULTS.md real-imagery
+    section; random weights sit at ~90%+). Guards the fixture, the
+    importer, and the forward against silent drift."""
+    from PIL import Image
+
+    from real_time_self_adaptive_deep_stereo_tpu.models import get_stereo_net
+    from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
+        load_params,
+    )
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "realworld")
+    npz = os.path.join(fdir, "weights_scene01.npz")
+    if not os.path.exists(npz):
+        pytest.skip("weights fixture absent")
+    net = get_stereo_net("MADNet", bulkhead=True)
+    params = load_params(npz)
+    # structural match with a fresh init (same treedef + shapes)
+    ref = net.init(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(ref)
+    jax.tree_util.tree_map(lambda a, b: None if a.shape == b.shape else 1/0, params, ref)
+
+    left = np.asarray(Image.open(os.path.join(fdir, "scene2_left.png")), np.float32)
+    right = np.asarray(Image.open(os.path.join(fdir, "scene2_right.png")), np.float32)
+    gt = np.asarray(Image.open(os.path.join(fdir, "scene2_gt.png")), np.float32) / 256.0
+    left, right, gt = left[:320, :1152], right[:320, :1152], gt[:320, :1152]
+    out = jax.jit(net.forward)(params, jnp.asarray(left[None]), jnp.asarray(right[None]))
+    d = np.asarray(out["full_res_disp"])[0, ..., 0]
+    valid = gt > 0
+    err = np.abs(d - gt)[valid]
+    d1 = np.mean((err > 3) & (err / np.maximum(gt[valid], 1e-6) > 0.05)) * 100
+    assert np.isfinite(d).all()
+    # measured 53.51% (fp32 HIGHEST, CPU); band allows XLA codegen drift
+    assert 40.0 < d1 < 65.0, f"held-out D1 {d1:.2f}% outside fixture band"

@@ -84,7 +84,14 @@ def main():
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--pretrainSteps", type=int, default=200)
-    ap.add_argument("--paramsNpz", default="", help="skip pretraining, load these params")
+    ap.add_argument(
+        "--paramsNpz",
+        default="",
+        help="skip pretraining, load these params (the committed "
+        "held-out-protocol weights are "
+        "tests/fixtures/realworld/weights_scene01.npz — trained on "
+        "scene0/1, adapt with --scenes scene2,scene3)",
+    )
     ap.add_argument("--scenes", default="", help="comma-separated fixture scenes to adapt on (default all)")
     ap.add_argument("--full", action="store_true", help="also run FULL mode")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
