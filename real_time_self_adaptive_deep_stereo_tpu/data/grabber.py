@@ -53,6 +53,12 @@ class ImageGrabber(threading.Thread, abc.ABC):
     bounded queue (dropping frames when the consumer lags, like the
     reference's Queue(1) hand-off)."""
 
+    #: live sources drop frames when the consumer lags (the reference
+    #: demo's Queue(1) semantics); file-replay sources override this to
+    #: block instead, so every frame is adapted on even while the first
+    #: step compiles (a folder is not a real-time source).
+    drop_when_full = True
+
     def __init__(self, out_queue: queue.Queue, fps_cap: float = 0.0):
         super().__init__(daemon=True)
         self.queue = out_queue
@@ -76,10 +82,13 @@ class ImageGrabber(threading.Thread, abc.ABC):
                 if pair is None:
                     break
                 item = np.stack([pair[0], pair[1]])
-                try:
-                    self.queue.put(item, timeout=1.0)
-                except queue.Full:
-                    pass  # drop the frame
+                while not self._stop_evt.is_set():
+                    try:
+                        self.queue.put(item, timeout=1.0)
+                        break
+                    except queue.Full:
+                        if self.drop_when_full:
+                            break  # drop the frame (live-camera lag)
                 if period:
                     dt = time.perf_counter() - t0
                     if dt < period:
@@ -128,6 +137,10 @@ class FolderGrabber(ImageGrabber):
             ]
         self.loop = loop
         self._idx = 0
+        # block on a full queue so a slow consumer (first-step compile)
+        # misses no frames — unless an fps_cap asks for real-time
+        # emulation, which keeps live drop semantics
+        self.drop_when_full = self.fps_cap > 0
 
     def grab(self):
         from real_time_self_adaptive_deep_stereo_tpu.data.readers import load_image

@@ -1,6 +1,7 @@
 """Data pipeline tests: list parsing, PFM decode, 16-bit GT scaling,
 crops, augmentation ranges, dataset iteration and device prefetch."""
 
+import time
 import os
 
 import numpy as np
@@ -254,3 +255,48 @@ def test_realworld_fixture_native_loader_parity(realworld_list):
     ):
         for k in ("left", "right", "target"):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+@pytest.mark.quick
+def test_folder_grabber_backpressure(tmp_path):
+    """File replay must deliver EVERY frame in order even when the
+    consumer lags (e.g. minutes of first-step compile) — a folder is
+    not a real-time source, so FolderGrabber blocks on the bounded
+    queue instead of dropping like a live camera; with an fps_cap it
+    reverts to live drop semantics."""
+    import queue as _queue
+
+    from PIL import Image
+
+    from real_time_self_adaptive_deep_stereo_tpu.data.grabber import get_camera
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(6):
+        l = tmp_path / f"l{i}.png"
+        r = tmp_path / f"r{i}.png"
+        arr = (rng.random((8, 12, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(l)
+        Image.fromarray((arr + i) % 255).save(r)
+        lines.append(f"{l},{r}")
+    lst = tmp_path / "pairs.csv"
+    lst.write_text("\n".join(lines) + "\n")
+
+    q = _queue.Queue(maxsize=1)
+    g = get_camera("folder", q, list_file=str(lst))
+    assert g.drop_when_full is False
+    g.start()
+    got = 0
+    while True:
+        time.sleep(0.05)  # slow consumer: queue(1) stays full
+        item = q.get(timeout=10.0)
+        if item is None:
+            break
+        got += 1
+    g.join(timeout=10.0)
+    assert got == 6, f"frames dropped in file replay: {got}/6"
+
+    # fps_cap -> real-time emulation keeps live drop semantics
+    q2 = _queue.Queue(maxsize=1)
+    g2 = get_camera("folder", q2, list_file=str(lst), fps_cap=30.0)
+    assert g2.drop_when_full is True
