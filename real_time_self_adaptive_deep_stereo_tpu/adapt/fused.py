@@ -579,7 +579,21 @@ class FusedOnlineSession:
                     "cur_blocks": blocks_now,
                 }
             elif mode == "FULL":
-                params2, opt2, new_loss, disp = train_full(params, opt, frame)
+                # --dilation gates the train op in FULL mode too (reference
+                # Stereo_Continual_Adaptation.py:212-213 gates whichever
+                # train op runs; host mirror: runner.py:113-119). With
+                # dilation==1 skip the cond so the compiled program carries
+                # no duplicate forward-only branch.
+                if self.dilation == 1:
+                    params2, opt2, new_loss, disp = train_full(params, opt, frame)
+                else:
+                    train_now = (step_i % self.dilation) == 0
+                    params2, opt2, new_loss, disp = jax.lax.cond(
+                        train_now,
+                        lambda a: train_full(a[0], a[1], frame),
+                        lambda a: train_none(a[0], a[1], frame),
+                        (params, opt),
+                    )
                 new_state_extras = {}
             else:
                 params2, opt2, new_loss, disp = train_none(params, opt, frame)

@@ -124,13 +124,27 @@ def main(args) -> dict:
         )
         from real_time_self_adaptive_deep_stereo_tpu.adapt.runner import SessionStats
 
+        # FIXED trains exactly the listed blocks (host/reference semantics,
+        # Sampler/sampler_factory.py:23-37 — the sampler ignores its nominal
+        # count); the fused step's static shapes require
+        # num_blocks == len(fixedID), so derive it here (same as cli/adapt.py).
+        fixed_ids = list(np.atleast_1d(args.fixedID))
+        num_blocks = args.numBlocks
+        if args.sampleMode == "FIXED" and args.mode == "MAD":
+            if num_blocks != len(fixed_ids):
+                print(
+                    f"# FIXED: training the {len(fixed_ids)} listed block(s) "
+                    f"{fixed_ids}; --numBlocks {num_blocks} ignored",
+                    flush=True,
+                )
+            num_blocks = len(fixed_ids)
         fsession = FusedOnlineSession(
             engine,
             params,
             mode=args.mode,
             sample_mode=args.sampleMode,
-            num_blocks=args.numBlocks,
-            fixed_id=args.fixedID[0] if isinstance(args.fixedID, list) else args.fixedID,
+            num_blocks=num_blocks,
+            fixed_id=fixed_ids if len(fixed_ids) > 1 else fixed_ids[0],
             sample_frequency=args.sampleFrequency,
             ssim_th=args.SSIMTh,
             decay=args.decay,

@@ -679,6 +679,49 @@ def test_fused_matches_host_with_dilation_freq_and_reset(madnet_setup):
     )
 
 
+def test_fused_matches_host_full_mode_dilation(madnet_setup):
+    """FULL mode must honour --dilation in the fused session too: the
+    reference gates whichever train op runs on the dilation stride
+    (Stereo_Continual_Adaptation.py:212-213), and the host runner gates
+    FULL accordingly (runner.py:113-119). Round-4 regression: the fused
+    step ran train_full every frame regardless of dilation."""
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    cp = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)  # noqa: E731
+    frames = [_frame() for _ in range(5)]
+    kw = dict(mode="FULL", dilation=2, ssim_th=1e9, seed=0)
+
+    host = OnlineAdaptationSession(eng, cp(params), **kw)
+    host_losses = [host.step(f)["loss"] for f in frames]
+
+    fused = FusedOnlineSession(eng, cp(params), max_steps=8, **kw)
+    for f in frames:
+        fused.step(f)
+    stats = fused.finalize()
+    np.testing.assert_allclose(stats["loss"], host_losses, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stats["epe"], host.stats.epe, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(fused.current_params()["pyramid"]["conv1"]["w"]),
+        np.asarray(host.params["pyramid"]["conv1"]["w"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+    # the gate must actually bite: an undilated fused run ends elsewhere
+    dense = FusedOnlineSession(
+        eng, cp(params), max_steps=8, mode="FULL", dilation=1, ssim_th=1e9, seed=0
+    )
+    for f in frames:
+        dense.step(f)
+    dense.finalize()
+    assert not np.allclose(
+        np.asarray(dense.current_params()["pyramid"]["conv1"]["w"]),
+        np.asarray(fused.current_params()["pyramid"]["conv1"]["w"]),
+    )
+
+
 # ----------------------------------------------------- dispnet MAD + splits
 
 

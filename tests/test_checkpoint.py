@@ -184,7 +184,13 @@ def test_committed_realworld_weights_fixture():
     # structural match with a fresh init (same treedef + shapes)
     ref = net.init(jax.random.PRNGKey(0))
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(ref)
-    jax.tree_util.tree_map(lambda a, b: None if a.shape == b.shape else 1/0, params, ref)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(ref)[0],
+    ):
+        assert a.shape == b.shape, (
+            f"shape mismatch at {jax.tree_util.keystr(kp)}: {a.shape} vs {b.shape}"
+        )
 
     left = np.asarray(Image.open(os.path.join(fdir, "scene2_left.png")), np.float32)
     right = np.asarray(Image.open(os.path.join(fdir, "scene2_right.png")), np.float32)

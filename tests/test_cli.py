@@ -180,6 +180,50 @@ def test_adapt_continual_cli(tiny_dataset, initial_weights, tmp_path):
     assert open(os.path.join(out, "histogram.csv")).read().startswith("Histogram")
 
 
+def test_adapt_continual_fused_host_parity(tiny_dataset, initial_weights, tmp_path):
+    """Fused and host session modes of the continual CLI must produce the
+    same trajectory for the two round-4 regression cases: FIXED with a
+    multi-id list (the CLI passed only fixedID[0] to the fused session)
+    and FULL with --dilation (the fused step ignored the gate). Reference
+    semantics: Sampler/sampler_factory.py:23-37,
+    Stereo_Continual_Adaptation.py:212-213."""
+    import ast
+
+    from real_time_self_adaptive_deep_stereo_tpu.cli import adapt_continual
+
+    def run(out, extra):
+        args = adapt_continual.build_argparser().parse_args(
+            [
+                "-l", tiny_dataset,
+                "-o", out,
+                "--weights", initial_weights,
+                "--modelName", "MADNet",
+                "--blockConfig", "block_config/MadNet_full.json",
+                "--imageShape", str(H), str(W),
+                "--corrMode", "jnp",
+                "--seed", "0",
+            ]
+            + extra
+        )
+        os.makedirs(out, exist_ok=True)
+        return adapt_continual.main(args)
+
+    cases = {
+        "fixed": ["--mode", "MAD", "--sampleMode", "FIXED", "--fixedID", "2", "3"],
+        "fulldil": ["--mode", "FULL", "--dilation", "2"],
+    }
+    for tag, extra in cases.items():
+        h = run(str(tmp_path / f"{tag}_host"), extra + ["--sessionMode", "host"])
+        f = run(str(tmp_path / f"{tag}_fused"), extra + ["--sessionMode", "fused"])
+        np.testing.assert_allclose(f["avg_epe"], h["avg_epe"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(f["avg_d1"], h["avg_d1"], rtol=1e-4, atol=1e-4)
+
+    # the fused FIXED run must have fetched exactly blocks 2 and 3
+    hist = open(str(tmp_path / "fixed_fused" / "histogram.csv")).read().splitlines()
+    counts = ast.literal_eval(hist[-1])
+    assert [i for i, c in enumerate(counts) if c > 0] == [2, 3]
+
+
 def test_train_cli_and_resume(tiny_dataset, tmp_path):
     from real_time_self_adaptive_deep_stereo_tpu.cli import train
     from real_time_self_adaptive_deep_stereo_tpu.utils.checkpoint import (
