@@ -176,13 +176,36 @@ def main() -> None:
     # BENCH_NO_METRICS=1: the GT-free production-serving contract
     # (no EPE/D1/metrics buffer; NONE also drops the loss pipeline)
     no_metrics = os.environ.get("BENCH_NO_METRICS", "0") != "0"
+    # BENCH_CHUNK=K: dispatch K frames per program via step_chunk
+    # (lax.scan) — amortizes the ~0.3 ms/dispatch host cost; identical
+    # adaptation trajectory, K-1 frames extra latency. Default 25 since
+    # r04 (the measured throughput winner: 204 best / 189 median FPS
+    # with bf16_act, docs/perf_matrix_r04.log); BENCH_CHUNK=0 restores
+    # per-frame dispatch. Non-headline modes keep per-frame dispatch.
+    chunk_default = "25" if (bench_mode == "MAD" and not streams) else "0"
+    chunk = int(os.environ.get("BENCH_CHUNK", chunk_default))
+    # parsed ONCE and reused by both time_session and step_tflops so the
+    # flop scale always matches the unroll actually dispatched (ADVICE r3)
+    chunk_unroll = int(os.environ.get("BENCH_CHUNK_UNROLL", "1"))
+
+    def planned_steps(iters: int, passes: int) -> int:
+        """Exact step budget for a time_session run: warmup rounds UP to
+        one whole chunk, each pass dispatches max(1, iters//chunk) chunks
+        (ADVICE r4: sessions must not outrun their metrics buffer)."""
+        if chunk:
+            warm = chunk * max(1, WARMUP // chunk)
+            per_pass = chunk * max(1, iters // chunk)
+        else:
+            warm, per_pass = WARMUP, iters
+        return warm + passes * per_pass + 8
+
     session = FusedOnlineSession(
         engine,
         params,
         mode=bench_mode,
         sample_mode="PROBABILITY",
         ssim_th=1e9,  # never reset during the bench
-        max_steps=WARMUP + PASSES * ITERS + 8,
+        max_steps=planned_steps(ITERS, PASSES),
         seed=0,
         shared_forward=os.environ.get("BENCH_SHARED", "0") != "0",
         num_streams=streams,
@@ -210,17 +233,6 @@ def main() -> None:
             for f in frames
         ]
 
-    # BENCH_CHUNK=K: dispatch K frames per program via step_chunk
-    # (lax.scan) — amortizes the ~0.3 ms/dispatch host cost; identical
-    # adaptation trajectory, K-1 frames extra latency. Default 25 since
-    # r04 (the measured throughput winner: 204 best / 189 median FPS
-    # with bf16_act, docs/perf_matrix_r04.log); BENCH_CHUNK=0 restores
-    # per-frame dispatch. Non-headline modes keep per-frame dispatch.
-    chunk_default = "25" if (bench_mode == "MAD" and not streams) else "0"
-    chunk = int(os.environ.get("BENCH_CHUNK", chunk_default))
-    # parsed ONCE and reused by both time_session and step_tflops so the
-    # flop scale always matches the unroll actually dispatched (ADVICE r3)
-    chunk_unroll = int(os.environ.get("BENCH_CHUNK_UNROLL", "1"))
     # 1-min load average at the end of each timed pass — makes host CPU
     # contention (the known cause of pass-to-pass FPS spread on this
     # tunneled runtime) visible in the artifact (VERDICT r3 weak #2)
@@ -236,8 +248,9 @@ def main() -> None:
         are ~0.25 ms so the in-flight queue never starves the host.
         NOTE 2: the tunneled chip's effective throughput varies
         run-to-run (host CPU contention starving the dispatch thread);
-        the headline takes the best pass as the steady-state capability
-        — the JSON carries every pass + the aggregation rule so readers
+        the headline takes the MEDIAN pass (r5 — the defensible number;
+        best_fps is still reported as the steady-state capability) and
+        the JSON carries every pass + the aggregation rule so readers
         see the methodology. Device traces (tools/profile_mad.py)
         corroborate the per-step device time.
         """
@@ -309,18 +322,19 @@ def main() -> None:
 
     per_pass = time_session(session, frames, ITERS, PASSES)
     headline_loads = list(pass_loads)
-    fps = max(per_pass)
-    median_fps = float(np.median(per_pass))
+    best_fps = max(per_pass)
+    fps = float(np.median(per_pass))  # headline = median pass (r5)
     if streams:
         # total camera-frames adapted per second
         fps = fps * streams
-        median_fps = median_fps * streams
+        best_fps = best_fps * streams
 
     tf_per_step = step_tflops(session, frames)
     # v5e bf16 peak: 197 TFLOPS/chip. cost_analysis counts HLO flops
     # (precision-agnostic); convs run bf16xbf16->fp32 on the MXU under
     # the default precision mode, so bf16 peak is the right denominator.
-    device_tflops = tf_per_step * max(per_pass)
+    # MFU quoted at the median pass, consistent with the headline.
+    device_tflops = tf_per_step * float(np.median(per_pass))
     mfu = device_tflops / 197.0 if tf_per_step else 0.0
     print(
         json.dumps(
@@ -359,7 +373,7 @@ def main() -> None:
             mode="MAD",
             sample_mode="PROBABILITY",
             ssim_th=0.5,  # the reference default --SSIMTh
-            max_steps=WARMUP + 2 * ITERS + 8,
+            max_steps=planned_steps(ITERS, 2),
             seed=0,
         )
         real_pass = time_session(real_sess, drift_frames, ITERS, 2)
@@ -368,11 +382,15 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "madnet_mad_adaptation_fps_384x1280_realistic",
-                    "value": round(max(real_pass), 2),
+                    "value": round(float(np.median(real_pass)), 2),
                     "unit": "frames/s",
+                    "aggregation": "median",
+                    "best_fps": round(max(real_pass), 2),
+                    "chunk": chunk,
                     "resets": int(rstats["reset_count"]),
                     "pass_fps": [round(f, 2) for f in real_pass],
-                    "note": "default ssim_th=0.5, drifting noisy sequence",
+                    "note": "default ssim_th=0.5, drifting noisy sequence"
+                    + (f", chunked dispatch (chunk={chunk})" if chunk else ""),
                 }
             ),
             file=sys.stderr,
@@ -384,32 +402,49 @@ def main() -> None:
     # dispatch one frame, wait for its disparity; p50/p99 are what a
     # robot consumer of per-frame disparities actually experiences.
     if bench_mode == "MAD" and not streams and not os.environ.get("BENCH_SKIP_LATENCY"):
-        # Wire floor first: the axon tunnel adds a ~30 ms sync RTT and a
-        # ~27 MiB/s D2H path that no framework code can remove (sweep in
-        # tools/probe_latency.py; healthy TPU hosts do both over PCIe in
-        # <1 ms). Measure it inline so this artifact separates wire cost
-        # from framework cost. A FRESH result is produced per iteration —
-        # device_get of the same array twice is free (cached value).
-        dev = jax.devices()[0]
-        inc = jax.jit(lambda x: x + 1.0)
-        tiny = jax.device_put(jnp.zeros((), jnp.float32), dev)
-        rtts = []
-        for _ in range(24):
-            y = inc(tiny)
-            y.block_until_ready()
+        # Pipelined serving mode FIRST: the shipped lowest-latency API
+        # (FusedOnlineSession.step_pipelined — depth-1 overlap + f16
+        # output, the cli/demo.py default). Measured before the blocking
+        # loop because this runtime degrades after D2H syncs; the
+        # blocking number below is the worst-case consumer by design.
+        serve_sess = FusedOnlineSession(
+            engine,
+            params,
+            mode="MAD",
+            sample_mode="PROBABILITY",
+            ssim_th=1e9,
+            max_steps=WARMUP + 128 + 8,
+            seed=0,
+            compute_metrics=not no_metrics,
+            disp_dtype=jnp.float16,
+        )
+        for i in range(WARMUP):
+            serve_sess.step(frames[i % 4])
+        serve_sess.block_until_ready()
+        serve_sess.step_pipelined(frames[0])
+        plats = []
+        for i in range(1, 65):
             t0 = time.perf_counter()
-            jax.device_get(y)
-            rtts.append((time.perf_counter() - t0) * 1e3)
-        wire_rtt = float(np.median(rtts))
-        buf = jax.device_put(jnp.zeros((H * W,), jnp.float32), dev)  # disparity bytes
-        d2hs = []
-        for _ in range(12):
-            y = inc(buf)
-            y.block_until_ready()
-            t0 = time.perf_counter()
-            jax.device_get(y)
-            d2hs.append((time.perf_counter() - t0) * 1e3)
-        wire_disp = float(np.median(d2hs))  # one RTT + disparity-size transfer
+            serve_sess.step_pipelined(frames[i % 4])
+            plats.append((time.perf_counter() - t0) * 1e3)
+        serve_sess.flush_disp()
+        plats = np.sort(np.asarray(plats))
+        print(
+            json.dumps(
+                {
+                    "metric": "madnet_mad_pipelined_serve_latency_384x1280",
+                    "p50_ms": round(float(plats[len(plats) // 2]), 2),
+                    "p99_ms": round(float(plats[int(len(plats) * 0.99)]), 2),
+                    "min_ms": round(float(plats[0]), 2),
+                    "unit": "ms (steady-state disparity interval on host)",
+                    "staleness_frames": 1,
+                    "api": "FusedOnlineSession.step_pipelined, f16 output"
+                    " (cli/demo.py default serving mode)",
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
 
         lat_sess = FusedOnlineSession(
             engine,
@@ -417,7 +452,7 @@ def main() -> None:
             mode="MAD",
             sample_mode="PROBABILITY",
             ssim_th=1e9,
-            max_steps=WARMUP + 64 + 8,
+            max_steps=WARMUP + 128 + 8,  # sync-free loop + latency loop
             seed=0,
             compute_metrics=not no_metrics,  # frames may lack "target"
         )
@@ -439,6 +474,38 @@ def main() -> None:
             lats.append((time.perf_counter() - t0) * 1e3)
         lats = np.sort(np.asarray(lats))
         p50 = float(lats[len(lats) // 2])
+
+        # Wire floor LAST (ADVICE r4): its ~36 blocking syncs would bias
+        # the latency samples above on this runtime, which degrades after
+        # device->host transfers. The axon tunnel adds a ~30 ms sync RTT
+        # and a ~27 MiB/s D2H path no framework code can remove (sweep:
+        # tools/probe_latency.py; healthy TPU hosts do both over PCIe in
+        # <1 ms). Wire and latency samples therefore come from separate
+        # queue states — wire is an idle-queue floor, the decomposition
+        # below is approximate by construction. A FRESH result is
+        # produced per iteration — device_get of the same array twice is
+        # free (cached value).
+        dev = jax.devices()[0]
+        inc = jax.jit(lambda x: x + 1.0)
+        tiny = jax.device_put(jnp.zeros((), jnp.float32), dev)
+        rtts = []
+        for _ in range(24):
+            y = inc(tiny)
+            y.block_until_ready()
+            t0 = time.perf_counter()
+            jax.device_get(y)
+            rtts.append((time.perf_counter() - t0) * 1e3)
+        wire_rtt = float(np.median(rtts))
+        buf = jax.device_put(jnp.zeros((H * W,), jnp.float32), dev)  # disparity bytes
+        d2hs = []
+        for _ in range(12):
+            y = inc(buf)
+            y.block_until_ready()
+            t0 = time.perf_counter()
+            jax.device_get(y)
+            d2hs.append((time.perf_counter() - t0) * 1e3)
+        wire_disp = float(np.median(d2hs))  # one RTT + disparity-size transfer
+
         print(
             json.dumps(
                 {
@@ -450,11 +517,12 @@ def main() -> None:
                     # decomposition. framework_step_ms = device step +
                     # host dispatch, measured sync-free (64 steps, one
                     # drain). wire_* = measured tunnel RTT / idle-queue
-                    # fetch of disparity-size bytes. The residual beyond
-                    # framework+wire is tunnel sync overhead (an extra
-                    # RTT-scale wait inside a busy-queue device_get).
-                    # Healthy-host projection: framework_step_ms + <1 ms
-                    # PCIe wire.
+                    # fetch of disparity-size bytes, sampled AFTER the
+                    # latency loop (separate queue state). The residual
+                    # beyond framework+wire is tunnel sync overhead (an
+                    # extra RTT-scale wait inside a busy-queue
+                    # device_get). Healthy-host projection:
+                    # framework_step_ms + <1 ms PCIe wire.
                     "framework_step_ms": round(step_ms, 2),
                     "wire_rtt_p50_ms": round(wire_rtt, 2),
                     "wire_disp_fetch_p50_ms": round(wire_disp, 2),
@@ -467,20 +535,22 @@ def main() -> None:
             flush=True,
         )
 
+    # metric name intentionally carries NO chunk suffix (ADVICE r4):
+    # round-over-round consumers compare by exact name; chunk is a field.
     print(
         json.dumps(
             {
                 "metric": f"madnet_{bench_mode.lower()}_adaptation_fps_384x1280"
                 + (f"_x{streams}streams" if streams else "")
-                + (f"_chunk{chunk}" if chunk else "")
                 + ("_nometrics" if no_metrics else ""),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "precision": precision,
+                "chunk": chunk,
                 "passes": PASSES,
-                "aggregation": "best-pass" + ("*streams" if streams else ""),
-                "median_fps": round(median_fps, 2),
+                "aggregation": "median" + ("*streams" if streams else ""),
+                "best_fps": round(best_fps, 2),
                 "pass_fps": [round(f, 2) for f in per_pass],
                 "pass_load1": headline_loads,
                 "mfu_vs_v5e_bf16_peak": round(mfu, 4),

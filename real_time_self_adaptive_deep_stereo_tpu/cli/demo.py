@@ -57,6 +57,42 @@ class RealTimeStereo(threading.Thread):
     def stop(self):
         self._stop_evt.set()
 
+    def _emit(self, disp, left, right, n):
+        """Display or serialize one disparity (reference demo_model.py
+        :219-225,251-258)."""
+        from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
+            colorize_disparity,
+            save_disparity_png,
+        )
+
+        if self.display == "cv2":  # pragma: no cover - needs a display
+            import cv2
+
+            vis = (
+                colorize_disparity(disp, cmap=self.colormap) * 255
+            ).astype(np.uint8)
+            vis = np.ascontiguousarray(vis[..., ::-1])
+            cv2.putText(
+                vis,
+                f"{self.fps:5.1f} FPS  frame {n}",
+                (8, 24),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                0.7,
+                (255, 255, 255),
+                2,
+            )
+            cv2.imshow("disparity", vis)
+            # left + right input windows, as the reference demo
+            # (demo_model.py:219-225)
+            cv2.imshow("left", left.astype(np.uint8)[..., ::-1])
+            cv2.imshow("right", right.astype(np.uint8)[..., ::-1])
+            cv2.waitKey(1)
+        elif self.out_dir:
+            os.makedirs(self.out_dir, exist_ok=True)
+            save_disparity_png(
+                os.path.join(self.out_dir, f"disparity_{n:05d}.png"), disp
+            )
+
     def run(self):
         import jax.numpy as jnp
 
@@ -64,12 +100,14 @@ class RealTimeStereo(threading.Thread):
             center_crop_or_pad,
             resize_image_np,
         )
-        from real_time_self_adaptive_deep_stereo_tpu.utils.visual import (
-            colorize_disparity,
-            save_disparity_png,
-        )
 
+        # The fused session serves with the depth-1 pipeline: frame i's
+        # disparity materializes while frame i+1 executes (lowest
+        # measured per-frame latency; one frame of display staleness).
+        # The host session is the reference-style blocking consumer.
+        pipelined = hasattr(self.session, "step_pipelined")
         n = 0
+        last_inputs = None
         while not self._stop_evt.is_set():
             try:
                 item = self.queue.get(timeout=2.0)
@@ -89,42 +127,24 @@ class RealTimeStereo(threading.Thread):
             frame = {
                 "left": jnp.asarray(left[None]),
                 "right": jnp.asarray(right[None]),
-                "target": jnp.zeros((1, h, w, 1), jnp.float32),
             }
-            out = self.session.step(frame)
-            disp = np.asarray(out["disp"])[0]
+            if pipelined:
+                out = self.session.step_pipelined(frame)
+                disp = None if out is None else np.asarray(out)[0]
+            else:
+                frame["target"] = jnp.zeros((1, h, w, 1), jnp.float32)
+                disp = np.asarray(self.session.step(frame)["disp"])[0]
             self.frame_times.append(time.perf_counter() - t0)
             n += 1
-
-            if self.display == "cv2":  # pragma: no cover - needs a display
-                import cv2
-
-                vis = (
-                    colorize_disparity(disp, cmap=self.colormap) * 255
-                ).astype(np.uint8)
-                vis = np.ascontiguousarray(vis[..., ::-1])
-                cv2.putText(
-                    vis,
-                    f"{self.fps:5.1f} FPS  frame {n}",
-                    (8, 24),
-                    cv2.FONT_HERSHEY_SIMPLEX,
-                    0.7,
-                    (255, 255, 255),
-                    2,
-                )
-                cv2.imshow("disparity", vis)
-                # left + right input windows, as the reference demo
-                # (demo_model.py:219-225)
-                cv2.imshow("left", left.astype(np.uint8)[..., ::-1])
-                cv2.imshow("right", right.astype(np.uint8)[..., ::-1])
-                cv2.waitKey(1)
-            elif self.out_dir:
-                os.makedirs(self.out_dir, exist_ok=True)
-                save_disparity_png(
-                    os.path.join(self.out_dir, f"disparity_{n:05d}.png"), disp
-                )
+            if disp is not None:
+                self._emit(disp, left, right, n - 1 if pipelined else n)
+            last_inputs = (left, right)
             if self.max_frames and n >= self.max_frames:
                 break
+        if pipelined and last_inputs is not None:
+            disp = self.session.flush_disp()  # drain the in-flight frame
+            if disp is not None:
+                self._emit(np.asarray(disp)[0], *last_inputs, n)
 
     @property
     def fps(self) -> float:
@@ -174,6 +194,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--outDir", default=None)
     p.add_argument("--maxFrames", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--sessionMode",
+        default="auto",
+        choices=["auto", "fused", "host"],
+        help="fused (default): on-device controller + depth-1 pipelined "
+        "f16 disparity fetch — the lowest-latency serving mode; host: "
+        "reference-style blocking per-frame consumer",
+    )
     return p
 
 
@@ -202,14 +230,41 @@ def main(args) -> float:
     blocks = make_blocks(load_block_config(args.blockConfig), model.layer_to_path)
     # the live demo adapts with Adam (reference demo_model.py:163)
     engine = AdaptationEngine(model, blocks, lr=args.lr, optimizer="adam")
-    session = OnlineAdaptationSession(
-        engine,
-        params,
-        mode=args.mode,
-        sample_mode=args.sampleMode,
-        ssim_th=args.SSIMTh,
-        seed=args.seed,
-    )
+    session_mode = getattr(args, "sessionMode", "auto")
+    if session_mode == "auto":
+        session_mode = "fused"
+    if session_mode == "fused":
+        # production serving shape: the whole controller on device, no
+        # ground truth (compute_metrics=False — live cameras have none),
+        # f16 consumer output (halves D2H bytes), depth-1 pipelined
+        # fetch in RealTimeStereo.run. This replaces the r4 demo's
+        # blocking np.asarray per frame — the worst measured serving
+        # pattern (docs/SERVING.md).
+        import jax.numpy as jnp
+
+        from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+            FusedOnlineSession,
+        )
+
+        session = FusedOnlineSession(
+            engine,
+            params,
+            mode=args.mode,
+            sample_mode=args.sampleMode,
+            ssim_th=args.SSIMTh,
+            seed=args.seed or 0,
+            compute_metrics=False,
+            disp_dtype=jnp.float16,
+        )
+    else:
+        session = OnlineAdaptationSession(
+            engine,
+            params,
+            mode=args.mode,
+            sample_mode=args.sampleMode,
+            ssim_th=args.SSIMTh,
+            seed=args.seed,
+        )
 
     q: queue.Queue = queue.Queue(maxsize=1)
     cam = get_camera(args.camera, q, list_file=args.list, loop=args.loop)

@@ -22,9 +22,10 @@ def colorize_disparity(
     """[H,W] or [H,W,1] disparity -> [H,W,3] float RGB in 0..1."""
     from matplotlib import cm
 
-    d = np.asarray(disp)
+    d = np.asarray(disp, np.float32)
     if d.ndim == 3:
         d = d[..., 0]
+    d = np.nan_to_num(d)  # early-adaptation frames can carry inf/NaN
     vmin = d.min() if vmin is None else vmin
     vmax = d.max() if vmax is None else vmax
     norm = np.clip((d - vmin) / max(vmax - vmin, 1e-12), 0, 1)
@@ -35,9 +36,12 @@ def colorize_disparity(
 
 def save_disparity_png(path: str, disp: np.ndarray, max_disp: float = 256.0) -> None:
     """Save 16-bit PNG of clip(disp, 0, max_disp) * 256."""
-    d = np.asarray(disp)
+    d = np.asarray(disp, np.float32)
     if d.ndim == 3:
         d = d[..., 0]
+    # 16-bit KITTI encoding has no NaN; encode non-finite pixels as 0
+    # (the KITTI "invalid" value) rather than tripping the uint16 cast
+    d = np.nan_to_num(d, nan=0.0, posinf=max_disp, neginf=0.0)
     to_save = (np.clip(d, 0, max_disp) * 256.0).astype(np.uint16)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     try:

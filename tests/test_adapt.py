@@ -722,6 +722,58 @@ def test_fused_matches_host_full_mode_dilation(madnet_setup):
     )
 
 
+def test_pipelined_serving_matches_blocking(madnet_setup):
+    """The depth-1 pipelined serving API (step_pipelined / serve /
+    flush_disp) must deliver exactly the per-step disparities, in frame
+    order, one frame late — pipelining changes WHEN the consumer sees a
+    disparity, never WHAT it sees. Also checks disp_dtype=float16 output
+    (the shipped low-latency demo configuration)."""
+    import jax.numpy as jnp
+
+    from real_time_self_adaptive_deep_stereo_tpu.adapt.fused import (
+        FusedOnlineSession,
+    )
+
+    net, params, blocks, eng = madnet_setup
+    cp = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)  # noqa: E731
+    frames = [_frame() for _ in range(4)]
+    kw = dict(mode="MAD", sample_mode="SEQUENTIAL", ssim_th=1e9, seed=0)
+
+    ref_sess = FusedOnlineSession(eng, cp(params), max_steps=8, **kw)
+    want = []
+    for f in frames:
+        ref_sess.step(f)
+        want.append(np.asarray(jax.device_get(ref_sess.last_disp)))
+
+    # step_pipelined: None first, then disp[i-1]; flush drains the last
+    pipe = FusedOnlineSession(eng, cp(params), max_steps=8, **kw)
+    got = [pipe.step_pipelined(f) for f in frames]
+    assert got[0] is None
+    for i in range(1, len(frames)):
+        np.testing.assert_array_equal(got[i], want[i - 1])
+    np.testing.assert_array_equal(pipe.flush_disp(), want[-1])
+    assert pipe.flush_disp() is None  # drained
+
+    # serve(): one disparity per input frame, in order
+    srv = FusedOnlineSession(eng, cp(params), max_steps=8, **kw)
+    out = list(srv.serve(iter(frames)))
+    assert len(out) == len(frames)
+    for g, w in zip(out, want):
+        np.testing.assert_array_equal(g, w)
+
+    # f16 consumer output, GT-free production contract
+    f16 = FusedOnlineSession(
+        eng, cp(params), max_steps=8, compute_metrics=False,
+        disp_dtype=jnp.float16, **kw
+    )
+    nogt = [{k: f[k] for k in ("left", "right")} for f in frames]
+    outs = list(f16.serve(iter(nogt)))
+    assert outs[0].dtype == np.float16
+    np.testing.assert_allclose(
+        outs[-1].astype(np.float32), want[-1], rtol=2e-3, atol=0.1
+    )
+
+
 # ----------------------------------------------------- dispnet MAD + splits
 
 

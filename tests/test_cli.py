@@ -253,10 +253,14 @@ def test_train_cli_and_resume(tiny_dataset, tmp_path):
     assert res2["steps"] >= step
 
 
-def test_demo_headless(tiny_dataset, initial_weights, tmp_path):
+@pytest.mark.parametrize("session_mode", ["fused", "host"])
+def test_demo_headless(tiny_dataset, initial_weights, tmp_path, session_mode):
+    """Headless demo in both serving shapes: fused (the shipped depth-1
+    pipelined f16 consumer) and host (reference-style blocking fetch).
+    Every input frame must yield a disparity PNG in both modes."""
     from real_time_self_adaptive_deep_stereo_tpu.cli import demo
 
-    out = str(tmp_path / "demo_out")
+    out = str(tmp_path / f"demo_out_{session_mode}")
     os.makedirs(out, exist_ok=True)
     args = demo.build_argparser().parse_args(
         [
@@ -271,11 +275,12 @@ def test_demo_headless(tiny_dataset, initial_weights, tmp_path):
             "--cropShape", str(H), str(W),
             "--maxFrames", "3",
             "--seed", "0",
+            "--sessionMode", session_mode,
         ]
     )
     fps = demo.main(args)
     assert fps > 0
-    assert len(os.listdir(out)) >= 1
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 3
 
 
 def test_kitti_eval_tool(initial_weights, tmp_path):
