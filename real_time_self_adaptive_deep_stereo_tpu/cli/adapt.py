@@ -73,6 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(args) -> dict:
     import jax
 
+    from real_time_self_adaptive_deep_stereo_tpu.utils.compile_cache import enable
+
+    enable()  # persistent XLA cache: CLIs must not cold-compile per process
+
     from real_time_self_adaptive_deep_stereo_tpu.adapt import (
         AdaptationEngine,
         OnlineAdaptationSession,

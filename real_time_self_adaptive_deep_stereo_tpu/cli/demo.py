@@ -148,10 +148,16 @@ class RealTimeStereo(threading.Thread):
 
     @property
     def fps(self) -> float:
-        """Throughput over the last 100 frames (whole run if shorter)."""
-        if not self.frame_times:
+        """Steady-state throughput: mean over the last 100 frames,
+        excluding the first 3 (the first step pays the XLA compile or
+        compile-cache load — minutes vs milliseconds; averaging it in
+        made short headless runs report nonsense)."""
+        times = self.frame_times
+        if len(times) > 6:
+            times = times[3:]
+        if not times:
             return 0.0
-        return 1.0 / np.mean(self.frame_times[-100:])
+        return 1.0 / np.mean(times[-100:])
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -207,6 +213,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(args) -> float:
     import jax
+
+    from real_time_self_adaptive_deep_stereo_tpu.utils.compile_cache import enable
+
+    enable()  # persistent XLA cache: CLIs must not cold-compile per process
 
     from real_time_self_adaptive_deep_stereo_tpu.adapt import (
         AdaptationEngine,

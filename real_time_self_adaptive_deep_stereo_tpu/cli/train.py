@@ -57,6 +57,10 @@ MAX_DISP = 192  # supervised clip (reference static param, Train.py:20)
 
 def main(args) -> dict:
     import jax
+
+    from real_time_self_adaptive_deep_stereo_tpu.utils.compile_cache import enable
+
+    enable()  # persistent XLA cache: CLIs must not cold-compile per process
     import jax.numpy as jnp
 
     if getattr(args, "decayStep", 500000) != 500000:
