@@ -135,14 +135,9 @@ def probe_wire(jax, jnp):
 def main():
     import jax
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from real_time_self_adaptive_deep_stereo_tpu.utils.compile_cache import enable
+
+    enable()  # per-host-fingerprint persistent compile cache
     import jax.numpy as jnp
 
     probe_wire(jax, jnp)

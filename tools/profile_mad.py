@@ -58,12 +58,9 @@ def main():
         trace,
     )
 
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from real_time_self_adaptive_deep_stereo_tpu.utils.compile_cache import enable
+
+    enable()  # per-host-fingerprint persistent compile cache
     set_conv_precision(os.environ.get("BENCH_PRECISION", "default"))
 
     model = get_stereo_net("MADNet", bulkhead=True)
