@@ -205,7 +205,10 @@ def main_drift(args):
     seq = make_sequence(args.height, args.width, args.frames, seed=7, d_bg=8.0, d_fg=20.0)
 
     lines = [
-        "## Precision drift of the fast TPU mode (one chip)",
+        "## Precision drift of the fast TPU mode (one chip)"
+        # keep the original 96x320 section header stable; qualify others
+        # so multiple resolutions coexist in PARITY_RESULTS.md
+        + ("" if (args.height, args.width) == (96, 320) else f" @ {args.height}x{args.width}"),
         "",
         f"Same sequence/protocol as above, {args.frames} frames @ "
         f"{args.height}x{args.width}. exact = gather warps + fp32 "

@@ -23,6 +23,17 @@ Artifacts (checked in, ~1 MB total):
                                                the /256 reader path,
                                                data/readers.py)
 
+v2 (round-5): each scene{i} also gets an ``asym{i}`` sibling — SAME left
+view and ground truth, but the right view carries per-camera photometric
+nuisance (independent gain/white-balance/gamma, vignette mismatch,
+independent sensor noise, and a sub-pixel vertical rectification error).
+A warped-left right view is photometrically perfect by construction,
+which silently flatters the unsupervised reprojection loss
+(Data_utils/preprocessing.py:201-230 in the reference) — the asym scenes
+are what make the loss face the realities of a stereo rig: the left
+pixel a disparity points at no longer has the same intensity as the
+right pixel, and a fraction of epipolar lines are slightly wrong.
+
 Deterministic (seeded); regenerate with `python tools/realworld_fixture.py`.
 """
 
@@ -136,6 +147,53 @@ def synthesize_pair(left_tex, d_right):
     return right, gt
 
 
+def apply_photometric_asymmetry(right: np.ndarray, rng) -> tuple:
+    """Per-camera nuisance for the right view, modelled on what breaks
+    the photometric-consistency assumption on a real rig (exposure/gain
+    differences, lens vignetting mismatch, sensor noise, imperfect
+    rectification). All magnitudes are in the range calibration surveys
+    report for consumer stereo rigs — strong enough to move the
+    reprojection loss, weak enough that adaptation must still work.
+
+    Returns (nuisanced right uint8-range float array, description str).
+    """
+    h, w = right.shape[:2]
+    x = right.astype(np.float64) / 255.0
+
+    # exposure/gain difference + per-channel white balance mismatch
+    gain = float(rng.uniform(0.90, 1.10))
+    wb = rng.uniform(0.97, 1.03, size=3)
+    # radiometric response (gamma) difference between the two sensors
+    gamma = float(rng.uniform(0.92, 1.08))
+    x = np.clip(x, 0.0, 1.0) ** gamma
+    x = x * gain * wb[None, None, :]
+
+    # vignetting mismatch: radial falloff present only in one camera
+    k = float(rng.uniform(0.06, 0.16))
+    yy = (np.arange(h) - h / 2.0) / (h / 2.0)
+    xx = (np.arange(w) - w / 2.0) / (w / 2.0)
+    r2 = (yy[:, None] ** 2 + xx[None, :] ** 2) / 2.0
+    x = x * (1.0 - k * r2)[..., None]
+
+    # sub-pixel vertical rectification error: shift rows by dy via
+    # linear interpolation (breaks the 1-D epipolar assumption slightly)
+    dy = float(rng.uniform(0.3, 0.8)) * (1 if rng.random() < 0.5 else -1)
+    k0 = int(np.floor(dy))
+    a = dy - k0
+    x0 = np.roll(x, -k0, axis=0)
+    x1 = np.roll(x, -(k0 + 1), axis=0)
+    x = (1.0 - a) * x0 + a * x1
+
+    # independent sensor noise (Gaussian read noise, 8-bit DN units)
+    sigma = float(rng.uniform(1.0, 2.5))
+    x = x * 255.0 + rng.normal(0.0, sigma, size=x.shape)
+    desc = (
+        f"gain={gain:.3f} wb=[{wb[0]:.3f},{wb[1]:.3f},{wb[2]:.3f}] "
+        f"gamma={gamma:.3f} vignette_k={k:.3f} dy={dy:+.2f}px noise={sigma:.2f}DN"
+    )
+    return np.clip(x, 0, 255).astype(np.float32), desc
+
+
 def main():
     from PIL import Image
 
@@ -159,12 +217,31 @@ def main():
         cover = float((gt > 0).mean())
         manifest.append(f"{name}: valid_gt={cover:.3f} d[{gt[gt>0].min():.1f},{gt.max():.1f}]")
         print(manifest[-1], flush=True)
+
+        # v2 sibling: same geometry (left+GT), photometrically asymmetric
+        # right camera. Separate seed stream so adding it never perturbs
+        # the original scenes (committed weights/tests pin those).
+        arng = np.random.default_rng(200 + i)
+        right_asym, desc = apply_photometric_asymmetry(right, arng)
+        aname = f"asym{i}"
+        Image.fromarray(left.astype(np.uint8)).save(
+            os.path.join(OUT, f"{aname}_left.png"), optimize=True
+        )
+        Image.fromarray(right_asym.astype(np.uint8)).save(
+            os.path.join(OUT, f"{aname}_right.png"), optimize=True
+        )
+        Image.fromarray(gt16, mode="I;16").save(os.path.join(OUT, f"{aname}_gt.png"))
+        manifest.append(f"{aname}: {desc}")
+        print(manifest[-1], flush=True)
     with open(os.path.join(OUT, "MANIFEST.txt"), "w") as f:
         f.write(
             "Real-imagery stereo fixture @320x1216 (KITTI operating "
             "resolution).\nSources: matplotlib grace_hopper.jpg (US public "
             "domain), sklearn china.jpg/flower.jpg (CC-BY).\nGT: 16-bit "
-            "PNG, disparity*256 (KITTI format), 0 = invalid/occluded.\n\n"
+            "PNG, disparity*256 (KITTI format), 0 = invalid/occluded.\n"
+            "asym{i}: same left/GT as scene{i}, right view with per-camera "
+            "photometric nuisance (gain/WB/gamma/vignette/noise/sub-px "
+            "vertical rectification error).\n\n"
             + "\n".join(manifest)
             + "\n"
         )

@@ -122,9 +122,12 @@ def main():
         params_np = jax.tree_util.tree_map(np.asarray, params)
     name_map = get_stereo_net("MADNet").tf_name_map()
 
+    asym = bool(scenes_filter) and any(s.startswith("asym") for s in scenes_filter)
     lines = [
-        "## Real-imagery parity (CPU, fp32) — photographic fixture @ "
-        f"{args.height}x{args.width}",
+        "## Real-imagery parity (CPU, fp32) — "
+        + ("PHOTOMETRICALLY ASYMMETRIC fixture @ " if asym else "photographic fixture @ ")
+        + f"{args.height}x{args.width}"
+        + (f" — scenes {args.scenes}" if args.scenes else ""),
         "",
         f"{args.frames} frames cycling tests/fixtures/realworld"
         + (f" scenes {{{args.scenes}}}" if args.scenes else "")
