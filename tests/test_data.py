@@ -230,7 +230,7 @@ def test_realworld_fixture_through_reader(realworld_list):
         shuffle=False,
     )
     batches = list(ds)
-    assert len(batches) == 4
+    assert len(batches) == 8  # scene{0-3} + photometric-asym asym{0-3}
     for b in batches:
         assert b["left"].shape == (1, 320, 1216, 3)
         assert b["left"].max() > 150 and b["left"].min() >= 0  # real photos
@@ -238,6 +238,40 @@ def test_realworld_fixture_through_reader(realworld_list):
         valid = gt > 0
         assert 0.85 < valid.mean() <= 1.0  # occlusions left invalid
         assert 3.0 <= gt[valid].min() and gt.max() < 192.0  # KITTI range
+
+
+@pytest.mark.quick
+def test_realworld_asym_fixture_properties():
+    """The asym{i} scenes (fixture v2) must share scene{i}'s geometry —
+    byte-identical left view and ground truth — while the right view
+    carries real photometric asymmetry (per-camera gain/gamma/vignette/
+    noise/sub-px rectification error): mean intensity shifted and
+    per-pixel differences well beyond quantization."""
+    from PIL import Image
+
+    checked = 0
+    for i in range(4):
+        sl = os.path.join(REALWORLD, f"scene{i}_left.png")
+        al = os.path.join(REALWORLD, f"asym{i}_left.png")
+        if not (os.path.exists(sl) and os.path.exists(al)):
+            continue
+        with open(sl, "rb") as f1, open(al, "rb") as f2:
+            assert f1.read() == f2.read(), f"asym{i} left differs from scene{i}"
+        with open(os.path.join(REALWORLD, f"scene{i}_gt.png"), "rb") as f1, open(
+            os.path.join(REALWORLD, f"asym{i}_gt.png"), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), f"asym{i} gt differs from scene{i}"
+        r0 = np.asarray(
+            Image.open(os.path.join(REALWORLD, f"scene{i}_right.png")), np.float32
+        )
+        r1 = np.asarray(
+            Image.open(os.path.join(REALWORLD, f"asym{i}_right.png")), np.float32
+        )
+        d = np.abs(r0 - r1)
+        assert d.mean() > 1.0, f"asym{i} right barely differs (mean {d.mean():.3f})"
+        assert d.max() > 10.0
+        checked += 1
+    assert checked == 4, "asym fixture incomplete — run tools/realworld_fixture.py"
 
 
 def test_realworld_fixture_native_loader_parity(realworld_list):
