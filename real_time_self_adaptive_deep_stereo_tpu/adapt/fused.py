@@ -168,6 +168,17 @@ class FusedOnlineSession:
         #   per-iteration dynamic-slice/update kernels and loop
         #   overhead, and exposes the independent streams to the
         #   scheduler; N-times larger program (longer compile).
+        #
+        # THROUGHPUT NOTE (measured, r4 matrix + r5): on one chip every
+        # one-program mode loses to N interleaved single-stream sessions
+        # (~165 total FPS unrolled at 4 streams vs ~185-200 interleaved)
+        # — XLA serializes the unrolled streams' convs anyway and the
+        # single big program forfeits the host/device overlap the
+        # interleaved dispatch gets for free. num_streams is an
+        # OPERATIONAL convenience (one state object, one dispatch, one
+        # snapshot) and the mesh stream-parallel building block ("vmap"
+        # + mesh), not a single-chip throughput play. See
+        # docs/SERVING.md and docs/ROADMAP.md (r5 closing note).
         self.num_streams = int(num_streams)
         if stream_impl == "auto":
             stream_impl = "vmap" if mesh is not None else "map"
