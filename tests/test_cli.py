@@ -339,6 +339,55 @@ def test_kitti_eval_tool(initial_weights, tmp_path):
     assert table[1].startswith("city,MAD,3,")
 
 
+def test_evaluate_cli_batched(tiny_dataset, initial_weights, tmp_path):
+    """Batched offline evaluation: per-frame metrics must be identical
+    to the batch-1 run (batching is semantically free on the
+    no-feedback path), the eval remainder (3 frames at batch 2) must be
+    padded+trimmed not dropped, and the adapt-NONE artifact set must be
+    emitted."""
+    from real_time_self_adaptive_deep_stereo_tpu.cli import evaluate
+    from real_time_self_adaptive_deep_stereo_tpu.ops.conv import set_conv_precision
+
+    results = {}
+    try:
+        for batch in (1, 2):
+            out = str(tmp_path / f"ev{batch}")
+            args = evaluate.build_argparser().parse_args(
+                [
+                    "-l", tiny_dataset,
+                    "-o", out,
+                    "--weights", initial_weights,
+                    "--modelName", "MADNet",
+                    "--imageShape", str(H), str(W),
+                    "--batch", str(batch),
+                    "--corrMode", "jnp",
+                    "--precision", "default",
+                    "--logDispStep", "2",
+                ]
+            )
+            os.makedirs(out, exist_ok=True)
+            results[batch] = (evaluate.main(args), out)
+    finally:
+        set_conv_precision("default")
+
+    r1, out1 = results[1]
+    r2, out2 = results[2]
+    assert np.isfinite(r1["avg_epe"]) and np.isfinite(r2["avg_d1"])
+    series1 = open(os.path.join(out1, "series.csv")).read().splitlines()
+    series2 = open(os.path.join(out2, "series.csv")).read().splitlines()
+    assert len(series1) == len(series2) == 4  # header + all 3 frames
+    for l1, l2 in zip(series1[1:], series2[1:]):
+        epe1, bad31 = float(l1.split(",")[2]), float(l1.split(",")[3])
+        epe2, bad32 = float(l2.split(",")[2]), float(l2.split(",")[3])
+        np.testing.assert_allclose(epe1, epe2, rtol=1e-5)
+        np.testing.assert_allclose(bad31, bad32, rtol=1e-5)
+    assert open(os.path.join(out2, "stats.csv")).read().startswith(
+        "Metrics,cumulative,average"
+    )
+    assert os.path.exists(os.path.join(out2, "disparities", "disparity_0.png"))
+    assert os.path.exists(os.path.join(out2, "disparities", "disparity_2.png"))
+
+
 @pytest.mark.quick
 def test_cli_argparser_surfaces_quick():
     """Quick-tier smoke for the CLI subsystem: every entry point builds
@@ -348,6 +397,7 @@ def test_cli_argparser_surfaces_quick():
         adapt,
         adapt_continual,
         demo,
+        evaluate,
         train,
     )
 
@@ -369,3 +419,7 @@ def test_cli_argparser_surfaces_quick():
          "block_config/MadNet_full.json", "--camera", "folder"]
     )
     assert d.camera == "folder" and d.SSIMTh == 0.5
+    e = evaluate.build_argparser().parse_args(
+        ["-l", "list.csv", "-o", "/tmp/o", "--weights", "w.npz", "--batch", "8"]
+    )
+    assert e.batch == 8 and e.precision == "bf16_act"
