@@ -180,7 +180,7 @@ def main(args) -> dict:
     )
     write_stats(args.output, stats)
     print(
-        f"{n_frames} frames in {exec_time:.2f}s -> {stats.fps:.1f} FPS "
+        f"{n_frames} frames in {exec_time:.2f}s -> {stats.fps:.4g} FPS "
         f"(batch {args.batch}, {args.precision})  "
         f"avg EPE {epe.mean():.3f}  bad3 {bad3.mean():.3f}  D1 {d1.mean():.2f}"
     )
