@@ -123,11 +123,13 @@ class DispNet:
         ri = pad_image(right.astype(jnp.float32) / 255.0 - 100.0 / 255.0, 64)
         feats: Dict = {"orig_hw": (h, w)}
         if self.correlation:
-            c1a = conv2d(params["conv1"], li, strides=2)
-            c1b = conv2d(params["conv1"], ri, strides=2)
-            c2a = conv2d(params["conv2"], c1a, strides=2)
-            c2b = conv2d(params["conv2"], c1b, strides=2)
-            feats.update({"c1a": c1a, "c2a": c2a, "c2b": c2b})
+            # siamese conv1/conv2 as ONE batched stack (B=2B), same as
+            # MADNet's pyramid: halves the dispatch count of the most
+            # HBM-bound convs (7x7/5x5 on the largest activations);
+            # mathematically identical per sample
+            c1 = conv2d(params["conv1"], jnp.concatenate([li, ri], axis=0), strides=2)
+            c2 = conv2d(params["conv2"], c1, strides=2)
+            feats.update({"c1a": c1[:b], "c2a": c2[:b], "c2b": c2[b:]})
         else:
             c1 = conv2d(params["conv1"], jnp.concatenate([li, ri], axis=-1), strides=2)
             c2 = conv2d(params["conv2"], c1, strides=2)
