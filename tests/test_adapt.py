@@ -814,6 +814,31 @@ def test_split_forward_matches_whole_forward(name):
     assert len(whole["disparities"]) == len(staged["disparities"])
 
 
+@pytest.mark.quick
+def test_dispnet_batched_siamese_stack_exact():
+    """DispNet runs its siamese conv1/conv2 as ONE B=2B batched stack
+    (the MADNet pyramid pattern — halves the dispatch count of the most
+    HBM-bound convs). Batching must be mathematically invisible: the
+    stacked features must equal per-view batch-1 convs bitwise."""
+    from real_time_self_adaptive_deep_stereo_tpu.ops import conv2d, pad_image
+
+    net = get_stereo_net("Dispnet", corr_mode="jnp")
+    params = net.init(jax.random.PRNGKey(3))
+    f = _frame()
+    feats = net.extract_features(params, f["left"], f["right"])
+
+    def encode(img):
+        x = pad_image(img.astype(jnp.float32) / 255.0 - 100.0 / 255.0, 64)
+        c1 = conv2d(params["conv1"], x, strides=2)
+        return c1, conv2d(params["conv2"], c1, strides=2)
+
+    c1a, c2a = encode(f["left"])
+    _, c2b = encode(f["right"])
+    np.testing.assert_array_equal(np.asarray(feats["c1a"]), np.asarray(c1a))
+    np.testing.assert_array_equal(np.asarray(feats["c2a"]), np.asarray(c2a))
+    np.testing.assert_array_equal(np.asarray(feats["c2b"]), np.asarray(c2b))
+
+
 @pytest.mark.parametrize("stream_impl", ["map", "vmap", "unroll"])
 def test_multistream_session_matches_single(madnet_setup, stream_impl):
     """num_streams=N runs N independent adaptation streams in ONE program
